@@ -1,0 +1,98 @@
+"""Rendering / evaluation drivers (reference run.py:18-449).
+
+Run types: movement, freeview, tpose, tpose_pose_condition, novelview,
+novelview_all, novelpose, novelpose_eval, train_render. Each loads a
+checkpoint, iterates the matching dataset, renders with the jitted
+block renderer, scatters rays back into images, and writes PNG/mp4 +
+PSNR/SSIM/LPIPS metrics where ground truth exists.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from humannerf_tpu.data.loader import Loader, create_dataset
+from humannerf_tpu.models.lpips import init_lpips_params, make_lpips_metric_fn
+from humannerf_tpu.models.network import HumanNeRF
+from humannerf_tpu.train import checkpoint as ckpt
+from humannerf_tpu.train.trainer import EvalRenderer
+from humannerf_tpu.utils.image import ImageWriter, to_8b_image, unpack_to_image
+from humannerf_tpu.utils.metrics import MetricsWriter
+
+# run types whose dataset yields ground truth for metrics
+_EVAL_TYPES = {"movement", "novelview", "novelview_all", "novelpose_eval",
+               "train_render"}
+
+
+def load_network(cfg):
+    net = HumanNeRF(cfg)
+    params = net.init_params(jax.random.key(cfg.random_seed))
+    payload = ckpt.load_checkpoint(cfg.logdir, cfg.load_net)
+    params, _ = ckpt.restore_into(payload, params)
+    print(f"loaded checkpoint {cfg.load_net} (iter {payload['iter']})")
+    return net, params
+
+
+def run(cfg, run_type: str):
+    if run_type == "tpose":
+        # canonical rendering skips the non-rigid field (run.py:167-172)
+        cfg.ignore_non_rigid_motions = True
+    net, params = load_network(cfg)
+    renderer = EvalRenderer(net, chunk=min(cfg.chunk, 8192))
+    dataset = create_dataset(cfg, run_type)
+    loader = Loader(dataset, shuffle=False, prefetch=2)
+
+    out_dir = os.path.join(cfg.logdir, cfg.load_net + cfg.eval_output_tag)
+    writer = ImageWriter(out_dir, run_type)
+    metrics = None
+    if run_type in _EVAL_TYPES and "lpips" in cfg.eval.metrics:
+        lpips_fn = make_lpips_metric_fn(init_lpips_params(cfg.lpips.weights))
+        metrics = MetricsWriter(out_dir, run_type,
+                                dataset=cfg[run_type].get("dataset", "?"),
+                                metrics=cfg.eval.metrics, lpips_fn=lpips_fn)
+    elif run_type in _EVAL_TYPES:
+        metrics = MetricsWriter(out_dir, run_type,
+                                dataset=cfg[run_type].get("dataset", "?"),
+                                metrics=cfg.eval.metrics)
+
+    bg = np.array(cfg.bgcolor, np.float32) / 255.0
+    for step, item in enumerate(loader):
+        out = renderer.render_frame(params, item, cfg.eval_iter,
+                                    full_outputs=cfg.test.save_3d)
+        W, H = item["img_width"], item["img_height"]
+        truth = item.get("target_rgbs")
+        rgb_img, alpha_img, truth_img = unpack_to_image(
+            W, H, item["ray_mask"], bg, out["rgb"], alpha=out["alpha"],
+            truth=truth if truth is not None and truth.ndim == 2 else None)
+        if truth is not None and truth.ndim == 3:
+            truth_img = to_8b_image(truth)
+
+        imgs = [rgb_img]
+        if cfg.show_truth and truth_img is not None:
+            imgs.append(truth_img)
+        if cfg.show_alpha and alpha_img is not None:
+            imgs.append(alpha_img)
+        name = item.get("frame_name", f"{step:06d}").replace("/", "-")
+        writer.append(np.concatenate(imgs, axis=1), img_name=f"{step:06d}")
+
+        if metrics is not None and truth_img is not None:
+            metrics.append(name if name not in metrics.per_image
+                           else f"{name}_{step}",
+                           rgb_img, truth_img)
+
+        if cfg.test.save_3d:
+            w = out["weights_on_rays"]                     # (R, S)
+            keep = w.max(axis=1) > cfg.test.weight_threshold
+            xyz = (out["xyz_on_rays"][keep] * w[keep][..., None]).sum(axis=1)
+            rgbp = (out["rgb_on_rays"][keep] * w[keep][..., None]).sum(axis=1)
+            writer.append_cnl_3d(xyz, rgbp, obj_name=f"{step}-cnl")
+
+    writer.finalize()
+    if metrics is not None:
+        avg = metrics.finalize()
+        print("metrics:", {k: round(v, 4) for k, v in avg.items()})
+        return avg
+    return None

@@ -1,0 +1,53 @@
+"""Training loss: rendered rays -> patch images -> LPIPS + MSE (+ L1).
+
+The reference scatters rays into patch images through boolean masks
+(trainer.py:28-37). Here the data layer precomputes `patch_ray_idx` (an
+int32 pixel->ray-slot map, -1 = background), so patch assembly is a single
+gather -- static shapes, no host sync, fuses under jit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from humannerf_tpu.models.lpips import lpips_distance, scale_for_lpips
+
+
+def gather_patch_images(rgb: jnp.ndarray, patch_ray_idx: jnp.ndarray,
+                        bgcolor01: jnp.ndarray) -> jnp.ndarray:
+    """rgb (R_cap, 3) + idx (N, P, P) -> patch images (N, P, P, 3).
+
+    Background pixels (idx == -1) get bgcolor (reference `_unpack_imgs`
+    initializes patches to bgcolor, trainer.py:33).
+    """
+    safe = jnp.clip(patch_ray_idx, 0)
+    gathered = rgb[safe]                                    # (N, P, P, 3)
+    is_ray = (patch_ray_idx >= 0)[..., None]
+    return jnp.where(is_ray, gathered, bgcolor01)
+
+
+def image_losses(patch_imgs: jnp.ndarray, targets: jnp.ndarray,
+                 loss_names, lpips_params=None, lpips_layers=(0, 1, 2, 3, 4)):
+    """Per-loss dict over patch image pairs (trainer.py:97-113)."""
+    losses = {}
+    if "mse" in loss_names:
+        losses["mse"] = jnp.mean((patch_imgs - targets) ** 2)
+    if "l1" in loss_names:
+        losses["l1"] = jnp.mean(jnp.abs(patch_imgs - targets))
+    if "lpips" in loss_names:
+        a = scale_for_lpips(patch_imgs).transpose(0, 3, 1, 2)
+        b = scale_for_lpips(targets).transpose(0, 3, 1, 2)
+        losses["lpips"] = jnp.mean(
+            lpips_distance(lpips_params, a, b, layers=lpips_layers))
+    return losses
+
+
+def total_loss(losses: dict, lossweights: dict):
+    """Weighted sum over cfg.train.lossweights with weight > 0."""
+    total = 0.0
+    out = {}
+    for k, w in lossweights.items():
+        if w > 0 and k in losses:
+            out[k] = losses[k]
+            total = total + w * losses[k]
+    return total, out

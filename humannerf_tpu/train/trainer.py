@@ -1,0 +1,236 @@
+"""Training loop: one jitted, mesh-sharded step; host-side data + logging.
+
+Replaces the reference Trainer (core/train/trainers/human_nerf/trainer.py):
+forward + loss + backward fuse into a single XLA program with donated
+buffers; rays shard over the device mesh; LPIPS runs in-graph. AMP/GradScaler
+(trainer.py:57-58,206-220) has no TPU equivalent -- bf16 compute with fp32
+params/optimizer needs no loss scaling.
+
+Cadence parity: log every train.log_interval; progress renders at
+{start, 100, 300, 1000, 2500} + every progress.dump_interval; 'latest'
+checkpoint every save_checkpt_interval; 'iter_N' every save_model_interval
+(trainer.py:222-255).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from humannerf_tpu.data.loader import Loader, create_dataset
+from humannerf_tpu.models.lpips import init_lpips_params
+from humannerf_tpu.models.network import HumanNeRF
+from humannerf_tpu.parallel import mesh as mesh_lib
+from humannerf_tpu.train import checkpoint as ckpt
+from humannerf_tpu.train.loss import (gather_patch_images, image_losses,
+                                      total_loss)
+from humannerf_tpu.train.optimizer import make_optimizer
+from humannerf_tpu.utils.image import tile_images, to_8b_image, unpack_to_image
+
+FRAME_KEYS = ("dst_Rs", "dst_Ts", "cnl_gtfms", "motion_weights_priors",
+              "dst_posevec", "cnl_bbox_min_xyz", "cnl_bbox_scale_xyz",
+              "bgcolor", "pose_condition")
+RAY_KEYS = ("rays_o", "rays_d", "rays_d_camera", "near", "far")
+
+
+def split_batch(batch: dict):
+    frame = {k: batch[k] for k in FRAME_KEYS if k in batch}
+    rays = {k: batch[k] for k in RAY_KEYS}
+    return frame, rays
+
+
+class EvalRenderer:
+    """Jitted full-image renderer with ray padding to block multiples.
+
+    Pads the variable masked-ray count to a multiple of `chunk` (the
+    reference's eval chunk, default.yaml:362) so recompiles are bounded by
+    the number of distinct padded sizes per sequence.
+    """
+
+    def __init__(self, net: HumanNeRF, chunk: int = 8192):
+        self.net = net
+        self.chunk = chunk
+        self._jitted = {}
+
+    def _fn(self, n_padded: int, full_outputs: bool):
+        key = (n_padded, full_outputs)
+        if key not in self._jitted:
+            net, chunk = self.net, self.chunk
+
+            @jax.jit
+            def render(params, frame, rays, iter_val):
+                return net.render_rays(params, frame, rays, iter_val,
+                                       chunk=min(chunk, n_padded),
+                                       perturb=False,
+                                       full_outputs=full_outputs)
+            self._jitted[key] = render
+        return self._jitted[key]
+
+    def render_frame(self, params, item: dict, iter_val: float,
+                     full_outputs: bool = False) -> dict:
+        n = item["rays_o"].shape[0]
+        n_pad = max(self.chunk, int(np.ceil(n / self.chunk)) * self.chunk)
+        rays = {}
+        for k in RAY_KEYS:
+            v = item[k]
+            pad = np.zeros((n_pad - n,) + v.shape[1:], v.dtype)
+            rays[k] = jnp.asarray(np.concatenate([v, pad], axis=0))
+        frame = {k: jnp.asarray(item[k]) for k in FRAME_KEYS if k in item}
+        out = self._fn(n_pad, full_outputs)(
+            params, frame, rays, jnp.asarray(float(iter_val)))
+        return jax.tree.map(lambda x: np.asarray(x)[:n], out)
+
+
+class Trainer:
+    def __init__(self, cfg, mesh=None, log=print):
+        self.cfg = cfg
+        self.log = log
+        self.net = HumanNeRF(cfg)
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.rng = jax.random.key(cfg.random_seed)
+
+        init_key, self.rng = jax.random.split(self.rng)
+        self.params = self.net.init_params(init_key)
+        self.tx, self.opt_state = make_optimizer(cfg, self.params)
+        self.lpips_params = init_lpips_params(cfg.lpips.weights) \
+            if cfg.train.lossweights.get("lpips", 0) > 0 else None
+
+        self.iter = 1
+        if cfg.resume and ckpt.ckpt_exists(cfg.logdir, cfg.load_net):
+            payload = ckpt.load_checkpoint(cfg.logdir, cfg.load_net)
+            self.params, self.opt_state = ckpt.restore_into(
+                payload, self.params, self.opt_state)
+            self.iter = payload["iter"] + 1
+            self.log(f"resumed from {cfg.load_net} at iter {self.iter}")
+        else:
+            ckpt.save_checkpoint(cfg.logdir, "init", 0, self.params,
+                                 self.opt_state)
+        self.start_iter = self.iter
+
+        self._train_step = self._build_train_step()
+        self.renderer = EvalRenderer(self.net, chunk=min(cfg.chunk, 8192))
+
+    # -- jitted step -----------------------------------------------------------
+
+    def _build_train_step(self):
+        cfg, net, tx = self.cfg, self.net, self.tx
+        lossweights = {k: float(v) for k, v in cfg.train.lossweights.items()}
+        loss_names = [k for k, w in lossweights.items() if w > 0]
+        lpips_params = self.lpips_params
+        lpips_layers = tuple(cfg.lpips.layers)
+        perturb = cfg.train.perturb > 0
+
+        def loss_fn(params, batch, rng, iter_val):
+            frame, rays = split_batch(batch)
+            out = net.render_rays(params, frame, rays, iter_val, rng,
+                                  perturb=perturb, remat=True)
+            patch_imgs = gather_patch_images(
+                out["rgb"], batch["patch_ray_idx"], batch["bgcolor"] / 255.0)
+            losses = image_losses(patch_imgs, batch["target_patches"],
+                                  loss_names, lpips_params, lpips_layers)
+            return total_loss(losses, lossweights)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, rng, iter_val):
+            (loss, loss_dict), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, rng, iter_val)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss, loss_dict
+
+        return train_step
+
+    # -- loop ------------------------------------------------------------------
+
+    def train(self, loader: Loader | None = None, max_steps=None):
+        cfg = self.cfg
+        if loader is None:
+            dataset = create_dataset(cfg, "train", seed=cfg.random_seed)
+            loader = Loader(dataset, shuffle=cfg.train.shuffle,
+                            seed=cfg.random_seed)
+        maxiter = cfg.train.maxiter if max_steps is None \
+            else self.iter + max_steps - 1
+
+        t0 = time.time()
+        n_done = 0
+        for batch in loader.endless():
+            if self.iter > maxiter:
+                break
+            step_key, self.rng = jax.random.split(self.rng)
+            device_batch = mesh_lib.put_batch(
+                {k: v for k, v in batch.items()
+                 if k not in ("frame_name", "frame_id", "num_valid_rays")},
+                self.mesh)
+            self.params, self.opt_state, loss, loss_dict = self._train_step(
+                self.params, self.opt_state, device_batch, step_key,
+                jnp.asarray(float(self.iter)))
+
+            n_done += 1
+            if self.iter % cfg.train.log_interval == 0:
+                loss_v = float(loss)
+                dt = time.time() - t0
+                rate = n_done / max(dt, 1e-9)
+                items = " ".join(f"{k}: {float(v):.4f}"
+                                 for k, v in loss_dict.items())
+                self.log(f"[iter {self.iter}] loss {loss_v:.4f} [{items}] "
+                         f"({rate:.2f} it/s)")
+
+            if (self.iter in (self.start_iter, 100, 300, 1000, 2500)
+                    or self.iter % cfg.progress.dump_interval == 0):
+                try:
+                    self.progress()
+                except FileNotFoundError:
+                    pass  # no progress dataset configured (smoke runs)
+
+            if (self.iter % cfg.train.save_checkpt_interval == 0
+                    or self.iter == self.start_iter):
+                ckpt.save_checkpoint(cfg.logdir, "latest", self.iter,
+                                     self.params, self.opt_state)
+            if cfg.save_all and self.iter % cfg.train.save_model_interval == 0:
+                ckpt.save_checkpoint(cfg.logdir, f"iter_{self.iter}",
+                                     self.iter, self.params, self.opt_state)
+            self.iter += 1
+
+    def finalize(self):
+        ckpt.save_checkpoint(self.cfg.logdir, "latest", self.iter,
+                             self.params, self.opt_state)
+
+    # -- progress renders --------------------------------------------------------
+
+    def progress(self) -> bool:
+        """Render held-out frames against ground truth into prog_{iter}.jpg.
+        Returns the reference's empty-image divergence signal
+        (trainer.py:271-350)."""
+        cfg = self.cfg
+        if "dataset" not in cfg.progress:
+            raise FileNotFoundError("no progress dataset configured")
+        dataset = create_dataset(cfg, "progress")
+        images = []
+        is_empty = False
+        for i in range(len(dataset)):
+            item = dataset[i]
+            out = self.renderer.render_frame(self.params, item, self.iter)
+            W, H = item["img_width"], item["img_height"]
+            bg = np.array(cfg.bgcolor, np.float32) / 255.0
+            rgb_img, _, truth_img = unpack_to_image(
+                W, H, item["ray_mask"], bg, out["rgb"],
+                truth=item.get("target_rgbs"))
+            pair = np.concatenate(
+                [rgb_img, truth_img if truth_img is not None else rgb_img],
+                axis=1)
+            images.append(pair)
+            if self.iter <= 5000 and np.allclose(
+                    rgb_img, np.array(cfg.bgcolor), atol=5.0):
+                is_empty = True
+        os.makedirs(cfg.logdir, exist_ok=True)
+        from PIL import Image
+        Image.fromarray(tile_images(images)).save(
+            os.path.join(cfg.logdir, f"prog_{self.iter:06d}.jpg"))
+        if is_empty:
+            self.log("progress renders are empty (divergence signal)")
+        return is_empty

@@ -1,0 +1,70 @@
+"""Multi-chip tests over the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from humannerf_tpu.parallel import mesh as mesh_lib
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_and_shardings():
+    mesh = mesh_lib.make_mesh(8)
+    assert mesh.devices.size == 8
+    batch = {
+        "rays_o": np.zeros((64, 3), np.float32),
+        "near": np.zeros((64,), np.float32),
+        "dst_Rs": np.zeros((24, 3, 3), np.float32),
+    }
+    sh = mesh_lib.batch_shardings(mesh, batch)
+    placed = mesh_lib.put_batch(batch, mesh)
+    # rays sharded over 'data', frame data replicated
+    assert placed["rays_o"].sharding.spec[0] == "data"
+    assert placed["dst_Rs"].sharding.spec == ()
+    np.testing.assert_array_equal(np.asarray(placed["rays_o"]),
+                                  batch["rays_o"])
+
+
+def test_dryrun_multichip_full_train_step():
+    """The driver's multi-chip gate: full sharded train step on 8 devices."""
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__
+    fn, example_args = __graft_entry__.entry()
+    out = jax.jit(fn)(*example_args)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_render_matches_single_device():
+    """Ray-sharded forward must be numerically identical to replicated."""
+    import __graft_entry__ as g
+    from humannerf_tpu.models.network import HumanNeRF
+    import jax.numpy as jnp
+
+    cfg = g._small_cfg(**{"N_samples": "8", "mweight_volume.volume_size": "16",
+                          "mweight_volume.embedding_size": "16",
+                          "canonical_mlp.mlp_width": "32",
+                          "canonical_mlp.mlp_depth": "4",
+                          "non_rigid_motion_mlp.mlp_width": "16",
+                          "non_rigid_motion_mlp.mlp_depth": "3",
+                          "non_rigid_motion_mlp.skips": "[]"})
+    net = HumanNeRF(cfg)
+    params = net.init_params(jax.random.key(0))
+    frame, rays = g._synthetic_inputs(cfg, n_rays=64)
+
+    def render(params, frame, rays):
+        return net.render_rays(params, frame, rays, jnp.asarray(1e7))["rgb"]
+
+    single = np.asarray(jax.jit(render)(params, frame, rays))
+
+    mesh = mesh_lib.make_mesh(8)
+    rays_np = {k: np.asarray(v) for k, v in rays.items()}
+    sharded_rays = mesh_lib.put_batch(rays_np, mesh)
+    sharded = np.asarray(jax.jit(render)(params, frame, sharded_rays))
+    np.testing.assert_allclose(single, sharded, atol=1e-5)
