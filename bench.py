@@ -27,6 +27,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from humannerf_tpu import runtime
+    runtime.setup()
     from humannerf_tpu.config import make_cfg
     from humannerf_tpu.models.network import HumanNeRF
     from __graft_entry__ import _synthetic_inputs
@@ -43,19 +45,21 @@ def main():
     def render(params, frame, rays):
         return net.render_rays(params, frame, rays, jnp.asarray(1e7))["rgb"]
 
-    out = render(params, frame, rays)
-    jax.block_until_ready(out)
+    # NOTE: on the experimental axon platform block_until_ready returns
+    # before execution completes; a host fetch (np.asarray) is the only
+    # honest sync, so each timed iteration fetches the (tiny) rgb output.
+    np.asarray(render(params, frame, rays))
     for _ in range(args.warmup):
-        jax.block_until_ready(render(params, frame, rays))
+        np.asarray(render(params, frame, rays))
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(args.iters):
-        out = render(params, frame, rays)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(render(params, frame, rays))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
-    total_samples = args.rays * args.samples * args.iters
-    sps = total_samples / dt
+    sps = args.rays * args.samples / dt
     baseline = 5e6
     print(json.dumps({
         "metric": "ray_samples_per_sec_per_chip",

@@ -205,6 +205,54 @@ def default_config() -> CN:
             "last_linear_scale": 1,
             "multihead": {"enable": False, "head_depth": 1},
         },
+        "non_rigid_motion_mlp_sa": {
+            "module": "mlp_offset_SA",
+            "sa": {"version": 1, "sa_dim": 128,
+                   "condition_embedding": "learnable",
+                   "condition_max_length": 4},
+            "condition_code_size": 69,
+            "pose_input": True,
+            "time_input": False,
+            "time_embed": "vocab",
+            "time_vocab_n": 654,
+            "time_vocab_dim": 128,
+            "multires_time": 2,
+            "time_dim": 128,
+            "mlp_width": 128,
+            "mlp_depth_plus": 0,
+            "mlp_depth": 5,
+            "skips": [4],
+            "multires": 6,
+            "i_embed": 0,
+            "kick_in_iter": 10000,
+            "full_band_iter": 50000,
+            "last_linear_scale": 1,
+            "multihead": {"enable": False, "head_depth": 1},
+        },
+        "non_rigid_motion_transformer": {
+            "d_model": 128, "nhead": 4, "num_encoder_layers": 2,
+            "num_decoder_layers": 2, "dim_feedforward": 256,
+            "joint_embedding": "learnable", "time_embedding": "learnable",
+            "time_embedding_max_length": 20, "joint_embedding_max_length": 23,
+        },
+        "non_rigid_motion_transformer_encoder": {
+            "d_model": 128, "nhead": 4, "num_encoder_layers": 4,
+            "dim_feedforward": 256, "joint_embedding_type": "learnable",
+            "time_embedding_type": "learnable",
+            "time_embedding_max_length": 20, "joint_embedding_max_length": 23,
+            "condition_input_dim": 9,
+        },
+        "non_rigid_motion_TStransformer_encoder": {
+            "attention_order": "TS",
+            "condition_input_dim": 3,
+            "encoder1": {"d_model": 32, "nhead": 1, "num_encoder_layers": 1,
+                         "dim_feedforward": 64, "embedding_type": "learnable",
+                         "embedding_max_length": 4},
+            "encoder2": {"d_model": 128, "nhead": 4, "num_encoder_layers": 1,
+                         "dim_feedforward": 256,
+                         "embedding_type": "learnable",
+                         "embedding_max_length": 23},
+        },
         "pose_decoder": {
             "module": "mlp_delta_body_pose",
             "embedding_size": 69,
@@ -276,6 +324,12 @@ def default_config() -> CN:
             "mweight_vol_decoder": {"reinit": False, "tune": False},
         },
         "mesh": {"data_axis": -1},  # -1: use all local devices on the data axis
+        # inverse-LBS warp execution strategy (ops/fused_warp.py):
+        #   fused: per-frame fused observation-space volume (fast, mild
+        #          double-interpolation smoothing)
+        #   exact: reference-parity per-bone trilerp (slow XLA gathers)
+        "warp": {"mode": "fused", "grid_size": 64,
+                 "include_bone_weights": False, "bbox_margin": 0.05},
     })
 
 

@@ -255,11 +255,88 @@ class Dataset(BaseHumanDataset):
 
     # -- item ------------------------------------------------------------------
 
+    def _frame_name_for(self, frame_int: int, camera_int: int) -> str:
+        """Inverse of _parse_frame_camera for ZJU v2 naming (train.py:164-169)."""
+        name = f"Camera_B{camera_int}/{frame_int:06d}.jpg"
+        if name in self.framelist_all or name in self.mesh_infos:
+            return name
+        name = f"frame_{frame_int:06d}_view_{camera_int:02d}"
+        if name in self.mesh_infos:
+            return name
+        return f"frame_{frame_int:06d}"
+
+    def _history_keys(self, frame_name: str, bgcolor) -> dict:
+        """RGB-history inputs: per past frame, SMPL bases + every view's
+        K@E and image (reference train.py:667-720). Only consecutive frame
+        numbering is supported, like the reference."""
+        cfg = self.cfg
+        frame_id, _cam = _parse_frame_camera(frame_name)
+        views = sorted({_parse_frame_camera(f)[1]
+                        for f in self.framelist_all})
+        Rs_h, Ts_h, posevec_h, w2c_h, rgb_h = [], [], [], [], []
+        for i in np.arange(1, cfg.rgb_history.last_num + 1) \
+                * cfg.rgb_history.step:
+            fid = max(frame_id - int(i), 0)
+            name_any = self._frame_name_for(fid, views[0])
+            info = self.mesh_infos[name_any]
+            dst_Rs, dst_Ts = body_pose_to_body_RTs(
+                info["poses"].astype(np.float32),
+                info["tpose_joints"].astype(np.float32))
+            Rs_h.append(dst_Rs)
+            Ts_h.append(dst_Ts)
+            posevec_h.append(info["poses"][3:].astype(np.float32) + 1e-2)
+            view_w2c, view_rgb = [], []
+            for cid in views:
+                nm = self._frame_name_for(fid, cid)
+                K = self.cameras[nm]["intrinsics"][:3, :3].copy()
+                K[:2] *= cfg.resize_img_scale
+                E = apply_global_tfm_to_camera(
+                    self.cameras[nm]["extrinsics"], info["Rh"], info["Th"])
+                view_w2c.append((K @ E[:3, :]).astype(np.float32))
+                img, _a = self.load_image(nm, bgcolor)
+                view_rgb.append((img / 255.0).astype(np.float32))
+            w2c_h.append(np.stack(view_w2c))
+            rgb_h.append(np.stack(view_rgb))
+        return {
+            "dst_Rs_history": np.stack(Rs_h),
+            "dst_Ts_history": np.stack(Ts_h),
+            "dst_posevec_history": np.stack(posevec_h),
+            "w2c_history": np.stack(w2c_h),
+            "rgb_history": np.stack(rgb_h),
+        }
+
+    def _head_id_for(self, frame_name: str) -> int:
+        """Multihead head assignment per split mode (train.py:489-537)."""
+        cfg = self.cfg
+        if cfg.multihead.head_num == 1:
+            return 0
+        if self.ray_shoot_mode == "image":
+            return int(cfg.test.head_id)
+        split = cfg.multihead.split
+        if split == "view":
+            return self.views.index(_parse_frame_camera(frame_name)[1])
+        if split == "random":
+            return int(self.rng.randint(cfg.multihead.head_num))
+        if split == "argmin":
+            return -1
+        if os.path.isfile(split):
+            import json
+            if not hasattr(self, "_sample2head"):
+                with open(split) as f:
+                    self._sample2head = json.load(f)
+            return int(self._sample2head[frame_name])
+        raise ValueError(f"unknown multihead split {split}")
+
     def get_item(self, idx: int) -> dict:
         cfg = self.cfg
         frame_name = self.framelist[idx]
-        results = {"frame_name": frame_name,
-                   "frame_id": _parse_frame_camera(frame_name)[0]}
+        results = {
+            "frame_name": frame_name,
+            "frame_id": np.int32(_parse_frame_camera(frame_name)[0]),
+            "dir_idx": np.int32(self.views.index(
+                _parse_frame_camera(frame_name)[1])),
+            "head_id": np.int32(self._head_id_for(frame_name)),
+        }
 
         if self.bgcolor is None:
             bgcolor = (self.rng.rand(3) * 255.0).astype(np.float32)
@@ -331,6 +408,10 @@ class Dataset(BaseHumanDataset):
 
         results.update(self.motion_keys(poses, tpose_joints))
         results.update(self.frame_common())
+        results["dst_bbox_min_xyz"] = dst_bbox["min_xyz"].astype(np.float32)
+        results["dst_bbox_max_xyz"] = dst_bbox["max_xyz"].astype(np.float32)
+        if cfg.rgb_history.last_num > 0 and "motion_bases" in self.keyfilter:
+            results.update(self._history_keys(frame_name, bgcolor))
         if self.pose_condition_list is not None:
             pc = np.array(self.pose_condition_list[idx], np.float32)
             if (cfg.pose_condition_random_mask == "second-half"
@@ -448,6 +529,8 @@ class FreeviewDataset(BaseHumanDataset):
         results.update(self.motion_keys(info["poses"].astype(np.float32),
                                         info["tpose_joints"].astype(np.float32)))
         results.update(self.frame_common())
+        results["dst_bbox_min_xyz"] = info["bbox"]["min_xyz"].astype(np.float32)
+        results["dst_bbox_max_xyz"] = info["bbox"]["max_xyz"].astype(np.float32)
         return results
 
     __getitem__ = get_item
@@ -528,6 +611,8 @@ class TposeDataset(BaseHumanDataset):
         }
         results.update(self.motion_keys(dst_poses, self.canonical_joints))
         results.update(self.frame_common())
+        results["dst_bbox_min_xyz"] = dst_bbox["min_xyz"].astype(np.float32)
+        results["dst_bbox_max_xyz"] = dst_bbox["max_xyz"].astype(np.float32)
         if self.pose_condition is not None:
             results["pose_condition"] = np.array(
                 self.pose_condition[idx % len(self.pose_condition)],

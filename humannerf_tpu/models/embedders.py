@@ -50,6 +50,17 @@ def hann_window_weights(alpha: jnp.ndarray, multires: int) -> jnp.ndarray:
     return (1.0 - jnp.cos(jnp.pi * jnp.clip(alpha - j, 0.0, 1.0))) / 2.0
 
 
+def init_vocab_embedder(key, n_vocab: int, dim: int):
+    """Learnable id->vector table (reference vocab_embedder.py:8-10; torch
+    nn.Embedding init is N(0, 1))."""
+    import jax
+    return {"table": jax.random.normal(key, (n_vocab, dim), jnp.float32)}
+
+
+def vocab_embed(params, ids: jnp.ndarray) -> jnp.ndarray:
+    return params["table"][jnp.asarray(ids, jnp.int32)]
+
+
 def hannw_fourier_embed(x: jnp.ndarray, multires: int,
                         alpha: jnp.ndarray) -> jnp.ndarray:
     """Hann-weighted fourier features, no identity term.

@@ -39,10 +39,38 @@ def _dense(p, x, dtype):
 # Canonical MLP
 # ---------------------------------------------------------------------------
 
+def init_multihead(key, *, head_depth: int, head_num: int, mlp_width: int,
+                   out_ch: int, tiny_last: bool = False):
+    """K independent output heads, each (head_depth-1) hidden layers + out
+    (reference multihead.py:4-19). tiny_last applies the non-rigid 1e-5
+    last-layer init per head (mlp_offset.py:67-71)."""
+    keys = iter(jax.random.split(key, head_num * (head_depth + 1)))
+    heads = []
+    for _ in range(head_num):
+        layers = [linear_params(next(keys), mlp_width, mlp_width, GAIN_RELU)
+                  for _ in range(head_depth - 1)]
+        out = (tiny_linear_params(next(keys), mlp_width, out_ch) if tiny_last
+               else linear_params(next(keys), mlp_width, out_ch, GAIN_LINEAR))
+        heads.append({"layers": layers, "output": out})
+    return heads
+
+
+def apply_multihead(heads, h, dtype=jnp.float32):
+    """-> (N, K, out_ch): every head evaluated (selection happens outside)."""
+    outs = []
+    for head in heads:
+        x = h
+        for p in head["layers"]:
+            x = jax.nn.relu(_dense(p, x, dtype))
+        outs.append(_dense(head["output"], x, dtype))
+    return jnp.stack(outs, axis=1)
+
+
 def init_canonical_mlp(key, *, input_ch: int, mlp_depth: int = 8,
                        mlp_width: int = 256, mlp_depth_plus: int = 0,
                        skips=(4,), last_linear_scale: int = 1,
-                       head_num: int = 1, view_dir: bool = False,
+                       head_num: int = 1, head_depth: int = 1,
+                       view_dir: bool = False,
                        input_ch_dir: int = 0, pose_color: str = "wo",
                        pose_ch: int = 69, extra_input_ch: int = 0):
     """Build canonical-MLP params (mlp_rgb_sigma.py:64-130).
@@ -84,7 +112,13 @@ def init_canonical_mlp(key, *, input_ch: int, mlp_depth: int = 8,
                                                 GAIN_LINEAR)
         params["output_rgb_2b"] = linear_params(next(keys), mlp_width, 3,
                                                 GAIN_LINEAR)
+    elif head_num > 1 and head_depth > 1:
+        params["multihead"] = init_multihead(
+            next(keys), head_depth=head_depth, head_num=head_num,
+            mlp_width=cur, out_ch=4)
     else:
+        # head_num > 1 with head_depth == 1 is one wide linear -> (4*K)
+        # (mlp_rgb_sigma.py:114-115)
         params["output"] = linear_params(next(keys), cur, 4 * head_num,
                                          GAIN_LINEAR)
     if pose_color == "ao":
@@ -128,6 +162,9 @@ def apply_canonical_mlp(params, pos_embed, *, skips=(4,), dir_embed=None,
                      _dense(params["output_rgb_2a"],
                             jnp.concatenate(feats, axis=-1), dtype), dtype)
         out = jnp.concatenate([rgb, density], axis=-1)
+    elif "multihead" in params:
+        out = apply_multihead(params["multihead"], h, dtype)  # (N, K, 4)
+        out = out.reshape(h.shape[0], -1)
     else:
         out = _dense(params["output"], h, dtype)
 
@@ -149,7 +186,8 @@ def apply_canonical_mlp(params, pos_embed, *, skips=(4,), dir_embed=None,
 def init_nonrigid_mlp(key, *, pos_embed_size: int, condition_code_size: int = 69,
                       mlp_width: int = 128, mlp_depth: int = 6,
                       mlp_depth_plus: int = 0, skips=(4,),
-                      last_linear_scale: int = 1, head_num: int = 1):
+                      last_linear_scale: int = 1, head_num: int = 1,
+                      head_depth: int = 1):
     """Non-rigid offset MLP params (mlp_offset.py:22-71)."""
     skips = set(skips)
     keys = iter(jax.random.split(key, 64))
@@ -168,6 +206,11 @@ def init_nonrigid_mlp(key, *, pos_embed_size: int, condition_code_size: int = 69
         else:
             layers.append(linear_params(next(keys), cur, mlp_width, GAIN_RELU))
             cur = mlp_width
+    if head_num > 1 and head_depth > 1:
+        heads = init_multihead(next(keys), head_depth=head_depth,
+                               head_num=head_num, mlp_width=cur, out_ch=3,
+                               tiny_last=True)
+        return {"block_mlps": layers, "multihead": heads}
     out = tiny_linear_params(next(keys), cur, 3 * head_num)
     return {"block_mlps": layers, "output": out}
 
@@ -186,7 +229,14 @@ def apply_nonrigid_mlp(params, pos_embed, pos_xyz, condition_code, *,
         if li > 0 and li in skips:  # layer index li == reference loop index i
             h = jnp.concatenate([h, pos_embed], axis=-1)
         h = jax.nn.relu(_dense(p, h, dtype))
-    trans = _dense(params["output"], h, dtype)
+    if "multihead" in params:
+        trans = apply_multihead(params["multihead"], h, dtype)  # (N, K, 3)
+        trans = trans.reshape(h.shape[0], -1)
+    else:
+        trans = _dense(params["output"], h, dtype)
+    if trans.shape[-1] > 3:  # multihead: per-head offsets (N, K, 3)
+        trans = trans.reshape(h.shape[0], -1, 3)
+        return {"xyz": pos_xyz[:, None, :] + trans, "offsets": trans}
     return {"xyz": pos_xyz + trans, "offsets": trans}
 
 

@@ -28,10 +28,20 @@ from humannerf_tpu.models import mlps, mweight
 from humannerf_tpu.models.embedders import (fourier_embed, fourier_embed_dim,
                                             hann_alpha, hannw_fourier_embed)
 from humannerf_tpu.models.motion import motion_basis
+from humannerf_tpu.ops.fused_warp import (build_fused_volume,
+                                          sample_fused_volume)
 from humannerf_tpu.ops.raymarch import (raw2outputs, sample_along_rays,
                                         stratified_sampling)
 from humannerf_tpu.ops.trilinear import sample_motion_weights
 from humannerf_tpu.utils.transforms import posevec_representation
+
+
+def _select_head(x: jnp.ndarray, head_id) -> jnp.ndarray:
+    """x (N, K, C) + traced scalar head_id -> (N, C)."""
+    idx = jnp.broadcast_to(
+        jnp.asarray(head_id, jnp.int32).reshape(1, 1, 1),
+        (x.shape[0], 1, x.shape[2]))
+    return jnp.take_along_axis(x, idx, axis=1)[:, 0]
 
 
 def localize_condition_code(cc: jnp.ndarray, weights: jnp.ndarray,
@@ -51,6 +61,19 @@ def localize_condition_code(cc: jnp.ndarray, weights: jnp.ndarray,
         d = cc.shape[-1] // ws.shape[-1]
         mask = jnp.repeat(ws, d, axis=-1)
         return cc * mask
+    if cfg_cc.type == "local_manual":
+        # manual part->joints table (localize.py:31-36): assign each sample
+        # to its argmax bone, mask the condition code by that part's joints.
+        from humannerf_tpu.utils.kinematic_chain import PART2JOINTS
+        ws = jax.lax.stop_gradient(weights)                   # (N, 24)
+        part = jnp.argmax(ws, axis=1)
+        table = jnp.asarray(PART2JOINTS[:, 1:])               # (24, 23) no root
+        mask = table[part]                                    # (N, 23)
+        fg_ok = (jnp.max(ws, axis=1, keepdims=True)
+                 > cfg_cc.local.fg_threshold).astype(cc.dtype)
+        mask = mask * fg_ok
+        d = cc.shape[-1] // mask.shape[-1]
+        return cc * jnp.repeat(mask, d, axis=-1)
     raise NotImplementedError(f"condition_code.type={cfg_cc.type}")
 
 
@@ -63,45 +86,135 @@ class HumanNeRF:
         self.n_samples = cfg.N_samples
         c = cfg.canonical_mlp
         nr = cfg.non_rigid_motion_mlp
-        if cfg.multihead.head_num != 1:
-            raise NotImplementedError("multihead arrives in a later milestone")
+        self.head_num = cfg.multihead.head_num
+        self.cnl_multi = c.multihead.enable and self.head_num > 1
+        self.nr_multi = nr.multihead.enable and self.head_num > 1
         self.cnl_pos_embed_dim = fourier_embed_dim(c.multires) \
             if c.i_embed != -1 else 3
         self.nr_pos_embed_dim = 3 * 2 * nr.multires if nr.i_embed != -1 else 3
-        self.dir_embed_dim = fourier_embed_dim(c.multires_dir) \
-            if c.view_dir else 0
+        if c.view_dir:
+            self.dir_embed_dim = (c.view_vocab_dim
+                                  if c.view_embed == "vocab"
+                                  else fourier_embed_dim(c.multires_dir))
+        else:
+            self.dir_embed_dim = 0
         self.compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" \
             else jnp.float32
 
     # -- init ---------------------------------------------------------------
 
+    def _init_nonrigid(self, key):
+        """Dispatch on cfg.non_rigid_motion_model (reference network.py:44-67)."""
+        cfg = self.cfg
+        model = cfg.non_rigid_motion_model
+        if model == "mlp":
+            nr = cfg.non_rigid_motion_mlp
+            return mlps.init_nonrigid_mlp(
+                key, pos_embed_size=self.nr_pos_embed_dim,
+                condition_code_size=nr.condition_code_size,
+                mlp_width=nr.mlp_width, mlp_depth=nr.mlp_depth,
+                mlp_depth_plus=nr.mlp_depth_plus, skips=tuple(nr.skips),
+                last_linear_scale=nr.last_linear_scale,
+                head_num=self.head_num if self.nr_multi else 1,
+                head_depth=nr.multihead.head_depth)
+        if model == "mlp_SA":
+            from humannerf_tpu.models import nonrigid_variants as nv
+            nrs = cfg.non_rigid_motion_mlp_sa
+            return nv.init_nonrigid_sa(
+                key, pos_embed_size=self.nr_pos_embed_dim,
+                condition_code_size=nrs.condition_code_size,
+                mlp_width=nrs.mlp_width, mlp_depth=nrs.mlp_depth,
+                mlp_depth_plus=nrs.mlp_depth_plus, skips=tuple(nrs.skips),
+                last_linear_scale=nrs.last_linear_scale,
+                sa_version=nrs.sa.version,
+                condition_embedding=nrs.sa.condition_embedding,
+                condition_max_length=nrs.sa.condition_max_length)
+        if model == "transformer_encoder":
+            from humannerf_tpu.models import nonrigid_variants as nv
+            return nv.init_nonrigid_transformer(
+                key, query_input_dim=self.nr_pos_embed_dim,
+                cfg_te=cfg.non_rigid_motion_transformer_encoder)
+        if model == "TStransformer_encoder":
+            from humannerf_tpu.models import nonrigid_variants as nv
+            return nv.init_nonrigid_ts_transformer(
+                key, query_input_dim=self.nr_pos_embed_dim,
+                cfg_ts=cfg.non_rigid_motion_TStransformer_encoder)
+        raise ValueError(f"non_rigid_motion_model={model}")
+
+    def _cnl_extra_input_ch(self) -> int:
+        """First-layer extra channels: encoded condition code + time embed
+        (mlp_rgb_sigma.py:36-63)."""
+        c = self.cfg.canonical_mlp
+        ch = 0
+        if c.condition_code_dim > 0:
+            enc = c.condition_code_encoder.lower()
+            if enc == "selfattention":
+                ch += c.selfattention.output_dim
+            elif enc == "mlpseq":
+                ch += c.mlpseq.output_dim or c.mlpseq.hidden_dim
+            else:
+                ch += c.condition_code_dim
+        if c.time_input:
+            ch += c.time_dim
+        if self.cfg.rgb_history.last_num > 0:
+            ch += self.cfg.rgb_history.temporal_dim
+        return ch
+
     def init_params(self, rng: jax.Array) -> dict:
         cfg = self.cfg
         c, nr, pd, mw = (cfg.canonical_mlp, cfg.non_rigid_motion_mlp,
                          cfg.pose_decoder, cfg.mweight_volume)
-        k_mw, k_nr, k_cnl, k_pd = jax.random.split(rng, 4)
+        k_mw, k_nr, k_cnl, k_pd, k_aux = jax.random.split(rng, 5)
         params = {
             "mweight_vol_decoder": mweight.init_mweight_decoder(
                 k_mw, embedding_size=mw.embedding_size,
                 volume_size=mw.volume_size, total_bones=cfg.total_bones),
-            "non_rigid_mlp": mlps.init_nonrigid_mlp(
-                k_nr, pos_embed_size=self.nr_pos_embed_dim,
-                condition_code_size=nr.condition_code_size,
-                mlp_width=nr.mlp_width, mlp_depth=nr.mlp_depth,
-                mlp_depth_plus=nr.mlp_depth_plus, skips=tuple(nr.skips),
-                last_linear_scale=nr.last_linear_scale),
+            "non_rigid_mlp": self._init_nonrigid(k_nr),
             "cnl_mlp": mlps.init_canonical_mlp(
                 k_cnl, input_ch=self.cnl_pos_embed_dim, mlp_depth=c.mlp_depth,
                 mlp_width=c.mlp_width, mlp_depth_plus=c.mlp_depth_plus,
                 last_linear_scale=c.last_linear_scale, view_dir=c.view_dir,
                 input_ch_dir=self.dir_embed_dim, pose_color=c.pose_color,
                 pose_ch=c.pose_ch,
-                extra_input_ch=c.condition_code_dim),
+                head_num=self.head_num if self.cnl_multi else 1,
+                head_depth=c.multihead.head_depth,
+                extra_input_ch=self._cnl_extra_input_ch()),
         }
         if not cfg.pose_decoder_off:
             params["pose_decoder"] = mlps.init_pose_refiner(
                 k_pd, embedding_size=pd.embedding_size, mlp_width=pd.mlp_width,
                 mlp_depth=pd.mlp_depth, total_bones=cfg.total_bones)
+
+        # auxiliary embedders / encoders (reference network.py:81-150)
+        from humannerf_tpu.models import embedders as emb
+        from humannerf_tpu.models import encoders as enc
+        keys = iter(jax.random.split(k_aux, 8))
+        if c.view_dir and c.view_embed == "vocab":
+            params["dir_embed_fn"] = emb.init_vocab_embedder(
+                next(keys), c.view_vocab_n, c.view_vocab_dim)
+        if nr.time_input and nr.time_embed == "vocab":
+            params["time_embed_fn"] = emb.init_vocab_embedder(
+                next(keys), nr.time_vocab_n, nr.time_vocab_dim)
+        if c.time_input and c.time_embed == "vocab":
+            params["time_embed_fn_cnl"] = emb.init_vocab_embedder(
+                next(keys), c.time_vocab_n, c.time_dim)
+        if c.condition_code_dim > 0:
+            encoder = c.condition_code_encoder.lower()
+            if encoder == "selfattention":
+                params["condition_code_encoder"] = enc.init_selfattention(
+                    next(keys), input_dim=c.condition_code_dim,
+                    **{k: v for k, v in c.selfattention.items()})
+            elif encoder == "mlpseq":
+                params["condition_code_encoder"] = enc.init_mlpseq(
+                    next(keys), input_dim=c.condition_code_dim,
+                    **{k: v for k, v in c.mlpseq.items()})
+        if cfg.rgb_history.last_num > 0:
+            from humannerf_tpu.models.rgb_history import init_rgb_history
+            params["rgb_feature"] = init_rgb_history(
+                next(keys), layer=cfg.rgb_history.feature_cfg.layer,
+                spatial_dim=cfg.rgb_history.spatial_dim,
+                temporal_dim=cfg.rgb_history.temporal_dim,
+                last_num=cfg.rgb_history.last_num)
         return params
 
     # -- per-frame preparation ----------------------------------------------
@@ -127,15 +240,27 @@ class HumanNeRF:
                 [dst_Rs[:1], jnp.where(gate, refined, dst_Rs[1:])], axis=0)
 
         # pose-condition code for the non-rigid MLP (network.py:704-738)
+        from humannerf_tpu.models.embedders import vocab_embed
+        nr_cfg = cfg.non_rigid_motion_mlp
         cc = None
-        if cfg.non_rigid_motion_mlp.pose_input and not cfg.ignore_non_rigid_motions:
+        if nr_cfg.pose_input and not cfg.ignore_non_rigid_motions:
             pose_cond = frame.get("pose_condition")
             if pose_cond is not None:
                 cc = pose_cond
             else:
                 cc = posevec_representation(dst_posevec, cfg.posevec.type)
-            nr_gate = (iter_val >= float(
-                cfg.non_rigid_motion_mlp.kick_in_iter)).astype(cc.dtype)
+            if nr_cfg.time_input:
+                fid = frame["frame_id"]
+                if nr_cfg.time_embed == "vocab":
+                    tv = vocab_embed(params["time_embed_fn"], fid)
+                else:
+                    tv = fourier_embed(
+                        jnp.asarray(fid, jnp.float32)[None]
+                        / nr_cfg.time_vocab_n, nr_cfg.multires_time)
+                cc = jnp.concatenate(
+                    [cc, jnp.broadcast_to(tv, cc.shape[:-1] + tv.shape[-1:])],
+                    axis=-1)
+            nr_gate = (iter_val >= float(nr_cfg.kick_in_iter)).astype(cc.dtype)
             cc = cc * nr_gate
 
         scale_Rs, Ts = motion_basis(dst_Rs, dst_Ts, frame["cnl_gtfms"])
@@ -146,10 +271,9 @@ class HumanNeRF:
         alpha = hann_alpha(iter_val, cfg.non_rigid_motion_mlp.multires,
                            cfg.non_rigid_motion_mlp.kick_in_iter,
                            cfg.non_rigid_motion_mlp.full_band_iter)
-        return {
+        ctx = {
             "motion_scale_Rs": scale_Rs,
             "motion_Ts": Ts,
-            "motion_weights_vol": mweights[:-1],              # drop bg channel
             "condition_code": cc,
             "pose_latent": posevec_representation(dst_posevec,
                                                   cfg.posevec.type),
@@ -158,44 +282,219 @@ class HumanNeRF:
             "cnl_bbox_scale_xyz": frame["cnl_bbox_scale_xyz"],
             "bgcolor": frame["bgcolor"],
         }
+        c = cfg.canonical_mlp
+        if c.time_input:
+            fid = frame["frame_id"]
+            if c.time_embed == "vocab":
+                ctx["time_vec_cnl"] = vocab_embed(params["time_embed_fn_cnl"],
+                                                  fid)
+            else:
+                ctx["time_vec_cnl"] = fourier_embed(
+                    jnp.asarray(fid, jnp.float32)[None] / c.time_vocab_n,
+                    c.time_dim // 2, include_input=False)
+        if c.condition_code_dim > 0 and "pose_condition_cmlp" in frame:
+            from humannerf_tpu.models import encoders as enc
+            cond = frame["pose_condition_cmlp"]
+            encoder = c.condition_code_encoder.lower()
+            if encoder == "selfattention":
+                cond = enc.apply_selfattention(
+                    params["condition_code_encoder"], cond,
+                    dtype=self.compute_dtype)
+            elif encoder == "mlpseq":
+                cond = enc.apply_mlpseq(params["condition_code_encoder"],
+                                        cond, dtype=self.compute_dtype)
+            # delay gating (mlp_rgb_sigma.py:135-158) as a traced ramp
+            if c.condition_code_delay:
+                gate = jnp.clip(
+                    (iter_val - c.kick_in_iter)
+                    / max(c.full_band_iter - c.kick_in_iter, 1), 0.0, 1.0)
+            else:
+                gate = 1.0
+            ctx["condition_code_cmlp"] = cond * gate
+        if "dir_idx" in frame:
+            ctx["dir_idx"] = frame["dir_idx"]
+
+        if cfg.rgb_history.last_num > 0 and "rgb_history" in frame:
+            from humannerf_tpu.models.rgb_history import \
+                compute_history_feature_maps
+            # refine history poses through the same decoder (network.py:667-695)
+            hist_Rs = frame["dst_Rs_history"]              # (T, 24, 3, 3)
+            hist_Ts = frame["dst_Ts_history"]
+            if not cfg.pose_decoder_off:
+                hist_out = mlps.apply_pose_refiner(
+                    params["pose_decoder"], frame["dst_posevec_history"],
+                    total_bones=cfg.total_bones, dtype=self.compute_dtype)
+                refined_h = hist_Rs[:, 1:] @ hist_out["Rs"]
+                gate = (iter_val >= float(cfg.pose_decoder.kick_in_iter))
+                hist_Rs = jnp.concatenate(
+                    [hist_Rs[:, :1], jnp.where(gate, refined_h,
+                                               hist_Rs[:, 1:])], axis=1)
+            bases = jax.vmap(
+                lambda R, T: motion_basis(R, T, frame["cnl_gtfms"]))(
+                    jax.lax.stop_gradient(hist_Rs),
+                    jax.lax.stop_gradient(hist_Ts))
+            ctx["history_scale_Rs"], ctx["history_Ts"] = bases
+            ctx["history_w2c"] = frame["w2c_history"]      # (T, V, 3, 4)
+            ctx["history_feats"] = compute_history_feature_maps(
+                params["rgb_feature"], frame["rgb_history"])
+            ctx["history_img_hw"] = tuple(frame["rgb_history"].shape[2:4])
+        if cfg.warp.mode == "fused":
+            margin = cfg.warp.bbox_margin
+            obs_min = frame["dst_bbox_min_xyz"] - margin
+            obs_max = frame["dst_bbox_max_xyz"] + margin
+            need_bw = (cfg.warp.include_bone_weights
+                       or cfg.condition_code.type != "global"
+                       or cfg.rgb_history.last_num > 0)
+            ctx["fused_volume"] = build_fused_volume(
+                mweights[:-1], scale_Rs, Ts,
+                frame["cnl_bbox_min_xyz"], frame["cnl_bbox_scale_xyz"],
+                obs_min, obs_max, cfg.warp.grid_size,
+                include_bone_weights=need_bw, dtype=self.compute_dtype)
+            ctx["obs_min"] = obs_min
+            ctx["obs_max"] = obs_max
+        else:
+            ctx["motion_weights_vol"] = mweights[:-1]         # drop bg channel
+        return ctx
 
     # -- point queries -------------------------------------------------------
 
-    def _query_points(self, params: dict, ctx: dict, x_skel: jnp.ndarray,
-                      bw_weights: jnp.ndarray, dir_embed):
-        """Canonical points -> (raw (M, 4), xyz (M, 3), offsets (M, 3))."""
-        cfg = self.cfg
-        if not cfg.ignore_non_rigid_motions:
-            nr_embed = hannw_fourier_embed(
-                x_skel, cfg.non_rigid_motion_mlp.multires, ctx["hann_alpha"])
-            cc = localize_condition_code(
-                jnp.broadcast_to(ctx["condition_code"],
-                                 (x_skel.shape[0],) +
-                                 ctx["condition_code"].shape[-1:]),
-                bw_weights, cfg.condition_code)
-            res = mlps.apply_nonrigid_mlp(
-                params["non_rigid_mlp"], nr_embed, x_skel, cc,
-                skips=tuple(cfg.non_rigid_motion_mlp.skips),
-                dtype=self.compute_dtype)
-            xyz, offsets = res["xyz"], res["offsets"]
-        else:
-            xyz, offsets = x_skel, jnp.zeros_like(x_skel)
+    def _history_features(self, params, ctx, x_skel, bw_weights, fg):
+        """Per-sample RGB-history appearance codes (network.py:526-551)."""
+        from humannerf_tpu.models.motion import forward_motion_warp
+        from humannerf_tpu.models.rgb_history import gather_history_features
 
-        pos_embed = fourier_embed(xyz, cfg.canonical_mlp.multires)
-        raw = mlps.apply_canonical_mlp(
+        def warp_one(Rs, Ts):
+            return forward_motion_warp(x_skel, bw_weights, Rs, Ts)
+        x_pose = jax.vmap(warp_one)(ctx["history_scale_Rs"],
+                                    ctx["history_Ts"])     # (T, N, 3)
+        ones = jnp.ones_like(x_pose[..., :1])
+        xh = jnp.concatenate([x_pose, ones], axis=-1)      # (T, N, 4)
+        uvz = jnp.einsum("tvij,tnj->tnvi", ctx["history_w2c"], xh)
+        uv = (uvz[..., :2] / (uvz[..., 2:3] + 1e-10)).astype(jnp.int32)
+        uvs = uv.transpose(1, 0, 2, 3)                     # (N, T, V, 2)
+        return gather_history_features(
+            params["rgb_feature"], ctx["history_feats"], uvs, fg,
+            ctx["history_img_hw"], dtype=self.compute_dtype)
+
+    def _apply_cnl(self, params, xyz, ctx, dir_embed, bw_weights=None,
+                   rgb_dyn=None):
+        cfg = self.cfg
+        c = cfg.canonical_mlp
+        pos_embed = jax.lax.optimization_barrier(
+            fourier_embed(xyz, c.multires))
+        extra = []
+        if "condition_code_cmlp" in ctx:
+            cond = jnp.broadcast_to(
+                ctx["condition_code_cmlp"],
+                (xyz.shape[0],) + ctx["condition_code_cmlp"].shape[-1:])
+            if cfg.condition_code.type != "global" and bw_weights is not None:
+                cond = localize_condition_code(cond, bw_weights,
+                                               cfg.condition_code)
+            extra.append(cond)
+        if "time_vec_cnl" in ctx:
+            extra.append(jnp.broadcast_to(
+                ctx["time_vec_cnl"],
+                (xyz.shape[0],) + ctx["time_vec_cnl"].shape[-1:]))
+        if rgb_dyn is not None:
+            extra.append(rgb_dyn)                   # appended last (ref order)
+        extra_input = jnp.concatenate(extra, axis=-1) if extra else None
+        return mlps.apply_canonical_mlp(
             params["cnl_mlp"], pos_embed,
             skips=(4,), dir_embed=dir_embed,
             pose_latent=ctx["pose_latent"],
-            pose_color=cfg.canonical_mlp.pose_color,
-            view_dir=cfg.canonical_mlp.view_dir,
+            extra_input=extra_input,
+            pose_color=c.pose_color,
+            view_dir=c.view_dir,
             dtype=self.compute_dtype)
+
+    def _query_points(self, params: dict, ctx: dict, x_skel: jnp.ndarray,
+                      bw_weights: jnp.ndarray, dir_embed,
+                      head_id=None, head_mode: str = "single"):
+        """Canonical points -> (raw, xyz, offsets).
+
+        head_mode 'single': (M, 4) / (M, 3). 'select': one traced head id
+        (reference per-view/random training, train.py(dataset):489-537).
+        'all': per-head leading axis (M, K, ...) -- the reference's
+        list-of-heads outputs (network.py:283-303) as a stacked array.
+        """
+        cfg = self.cfg
+        K = self.head_num
+        model = cfg.non_rigid_motion_model
+        if not cfg.ignore_non_rigid_motions:
+            nr_embed = jax.lax.optimization_barrier(hannw_fourier_embed(
+                x_skel, cfg.non_rigid_motion_mlp.multires, ctx["hann_alpha"]))
+            if model == "mlp":
+                cc = localize_condition_code(
+                    jnp.broadcast_to(ctx["condition_code"],
+                                     (x_skel.shape[0],) +
+                                     ctx["condition_code"].shape[-1:]),
+                    bw_weights, cfg.condition_code)
+                res = mlps.apply_nonrigid_mlp(
+                    params["non_rigid_mlp"], nr_embed, x_skel, cc,
+                    skips=tuple(cfg.non_rigid_motion_mlp.skips),
+                    dtype=self.compute_dtype)
+            else:
+                from humannerf_tpu.models import nonrigid_variants as nv
+                cond = ctx["condition_code"]
+                if model == "mlp_SA":
+                    if cond.ndim == 1:          # (D,) -> 1-step sequence
+                        cond = cond[None]
+                    res = nv.apply_nonrigid_sa(
+                        params["non_rigid_mlp"], nr_embed, x_skel, cond,
+                        skips=tuple(cfg.non_rigid_motion_mlp_sa.skips),
+                        dtype=self.compute_dtype)
+                elif model == "transformer_encoder":
+                    res = nv.apply_nonrigid_transformer(
+                        params["non_rigid_mlp"], nr_embed, x_skel,
+                        cond.reshape(-1, cond.shape[-1]),
+                        dtype=self.compute_dtype)
+                elif model == "TStransformer_encoder":
+                    res = nv.apply_nonrigid_ts_transformer(
+                        params["non_rigid_mlp"], nr_embed, x_skel, cond,
+                        dtype=self.compute_dtype)
+                else:
+                    raise ValueError(model)
+            xyz, offsets = res["xyz"], res["offsets"]
+            if self.nr_multi and head_mode == "select":
+                xyz = _select_head(xyz, head_id)
+                offsets = _select_head(offsets, head_id)
+        else:
+            xyz, offsets = x_skel, jnp.zeros_like(x_skel)
+
+        rgb_dyn = None
+        if "history_feats" in ctx:
+            fg = jnp.sum(bw_weights, axis=-1, keepdims=True)
+            rgb_dyn = self._history_features(params, ctx, x_skel, bw_weights,
+                                             fg)
+
+        if head_mode == "all" and K > 1:
+            # pair non-rigid head h with canonical head h (network.py:283-303)
+            raws = []
+            for h in range(K):
+                xyz_h = xyz[:, h] if (self.nr_multi and xyz.ndim == 3) else xyz
+                raw_h = self._apply_cnl(params, xyz_h, ctx, dir_embed, bw_weights, rgb_dyn)
+                if self.cnl_multi:
+                    raw_h = raw_h[:, 4 * h:4 * (h + 1)]
+                raws.append(raw_h)
+            raw = jnp.stack(raws, axis=1)                 # (M, K, 4)
+            if not (self.nr_multi and xyz.ndim == 3):
+                xyz = jnp.repeat(xyz[:, None], K, axis=1)
+                offsets = jnp.repeat(offsets[:, None], K, axis=1)
+            return raw, xyz, offsets
+
+        raw = self._apply_cnl(params, xyz, ctx, dir_embed, bw_weights, rgb_dyn)
+        if self.cnl_multi:
+            raw = raw.reshape(raw.shape[0], K, 4)
+            raw = _select_head(raw, head_id) if head_mode == "select" \
+                else raw[:, 0]
         return raw, xyz, offsets
 
     # -- ray rendering --------------------------------------------------------
 
     def render_block(self, params: dict, ctx: dict, block: dict,
                      rng: jax.Array | None = None, *, perturb: bool = False,
-                     full_outputs: bool = False, remat: bool = False) -> dict:
+                     full_outputs: bool = False, remat: bool = False,
+                     head_id=0, head_mode: str = "single") -> dict:
         """Render one fixed-size ray block (reference `_render_rays`)."""
         cfg = self.cfg
         rays_o, rays_d = block["rays_o"], block["rays_d"]
@@ -210,21 +509,63 @@ class HumanNeRF:
 
         dir_embed = None
         if cfg.canonical_mlp.view_dir:
-            d = block["rays_d_camera"] if cfg.canonical_mlp.view_dir_camera_only \
-                else rays_d
-            d = d / jnp.clip(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-            dir_embed = fourier_embed(d, cfg.canonical_mlp.multires_dir)
-            dir_embed = jnp.repeat(dir_embed[:, None, :], S,
-                                   axis=1).reshape(R * S, -1)
+            if cfg.canonical_mlp.view_embed == "vocab":
+                from humannerf_tpu.models.embedders import vocab_embed
+                vec = vocab_embed(params["dir_embed_fn"],
+                                  ctx["dir_idx"]).reshape(-1)
+                dir_embed = jnp.broadcast_to(vec, (R * S, vec.shape[0]))
+            else:
+                d = block["rays_d_camera"] \
+                    if cfg.canonical_mlp.view_dir_camera_only else rays_d
+                d = d / jnp.clip(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                                 1e-12)
+                dir_embed = fourier_embed(d, cfg.canonical_mlp.multires_dir)
+                dir_embed = jnp.repeat(dir_embed[:, None, :], S,
+                                       axis=1).reshape(R * S, -1)
 
-        x_skel, fg, bw_weights = sample_motion_weights(
-            ctx["motion_weights_vol"], pts.reshape(-1, 3),
-            ctx["motion_scale_Rs"], ctx["motion_Ts"],
-            ctx["cnl_bbox_min_xyz"], ctx["cnl_bbox_scale_xyz"])
+        pts_flat = pts.reshape(-1, 3)
+        if "fused_volume" in ctx:
+            x_skel, fg, bw_weights = sample_fused_volume(
+                ctx["fused_volume"], pts_flat, ctx["obs_min"], ctx["obs_max"])
+            if bw_weights is None:
+                bw_weights = jnp.zeros(
+                    (pts_flat.shape[0], self.total_bones), pts.dtype)
+            else:
+                bw_weights = bw_weights[:, :self.total_bones]
+        else:
+            x_skel, fg, bw_weights = sample_motion_weights(
+                ctx["motion_weights_vol"], pts_flat,
+                ctx["motion_scale_Rs"], ctx["motion_Ts"],
+                ctx["cnl_bbox_min_xyz"], ctx["cnl_bbox_scale_xyz"])
+        # keep the geometry stage out of the MLP fusion: letting XLA fuse the
+        # embed/warp into the matmuls costs ~7x (measured on v5e)
+        x_skel = jax.lax.optimization_barrier(x_skel)
 
-        query = jax.checkpoint(self._query_points) if remat \
-            else self._query_points
+        def query(p, c, x, bw, de):
+            return self._query_points(p, c, x, bw, de, head_id=head_id,
+                                      head_mode=head_mode)
+        if remat:
+            query = jax.checkpoint(query)
         raw, xyz, offsets = query(params, ctx, x_skel, bw_weights, dir_embed)
+
+        multi = (head_mode == "all" and self.head_num > 1)
+        if multi:
+            K = self.head_num
+            raw_h = raw.reshape(R, S, K, 4).transpose(2, 0, 1, 3)
+            xyz_h = xyz.reshape(R, S, K, 3).transpose(2, 0, 1, 3)
+            fg_rs = fg.reshape(R, S, 1)
+
+            def comp(raw_k, xyz_k):
+                return raw2outputs(raw_k, fg_rs, z_vals, rays_d,
+                                   ctx["bgcolor"],
+                                   xyz=xyz_k if full_outputs else None)
+            out = jax.vmap(comp)(raw_h, xyz_h)            # leading head axis
+            if full_outputs:
+                out["backward_motion_weights"] = jnp.repeat(
+                    bw_weights.reshape(1, R, S, -1), K, axis=0)
+                out["offsets"] = offsets.reshape(R, S, K, 3
+                                                 ).transpose(2, 0, 1, 3)
+            return out
 
         out = raw2outputs(
             raw.reshape(R, S, -1), fg.reshape(R, S, 1), z_vals, rays_d,
@@ -237,16 +578,19 @@ class HumanNeRF:
     def render_rays(self, params: dict, frame: dict, rays: dict,
                     iter_val, rng: jax.Array | None = None, *,
                     perturb: bool = False, chunk: int | None = None,
-                    full_outputs: bool = False, remat: bool = False) -> dict:
+                    full_outputs: bool = False, remat: bool = False,
+                    head_id=0, head_mode: str = "single") -> dict:
         """Full forward: prepare frame once, render rays (blocked if chunked).
 
         rays_* leaves must have leading dim divisible by `chunk` when given.
+        In head_mode 'all' outputs gain a leading head axis.
         """
         ctx = self.prepare_frame(params, frame, iter_val)
         n_rays = rays["rays_o"].shape[0]
+        kw = dict(perturb=perturb, full_outputs=full_outputs, remat=remat,
+                  head_id=head_id, head_mode=head_mode)
         if chunk is None or chunk >= n_rays:
-            return self.render_block(params, ctx, rays, rng, perturb=perturb,
-                                     full_outputs=full_outputs, remat=remat)
+            return self.render_block(params, ctx, rays, rng, **kw)
         assert n_rays % chunk == 0, (n_rays, chunk)
         n_blocks = n_rays // chunk
         blocked = jax.tree.map(
@@ -257,9 +601,14 @@ class HumanNeRF:
 
         def body(args):
             blk, key = args
-            return self.render_block(params, ctx, blk, key, perturb=perturb,
-                                     full_outputs=full_outputs, remat=remat)
+            return self.render_block(params, ctx, blk, key, **kw)
 
         out = jax.lax.map(body, (blocked, rngs))
+        multi = (head_mode == "all" and self.head_num > 1)
+        if multi:
+            # (n_blocks, K, chunk, ...) -> (K, n_blocks*chunk, ...)
+            return jax.tree.map(
+                lambda x: x.swapaxes(0, 1).reshape(
+                    (x.shape[1], n_blocks * chunk) + x.shape[3:]), out)
         return jax.tree.map(
             lambda x: x.reshape((n_blocks * chunk,) + x.shape[2:]), out)

@@ -1,0 +1,169 @@
+"""Fused frame-volume warp: the TPU-first inverse-LBS fast path.
+
+XLA TPU gathers are latency-bound (~300M rows/s measured on v5e), so the
+reference formulation -- every sample gathers 24 bones x 8 corners from the
+weight volume (network.py:407-415) -- caps the whole renderer at <1M
+samples/s. This module restructures the computation around two facts:
+
+  1. trilinear interpolation is LINEAR in the volume values, so the per-bone
+     constants (A_k, t_k) can be fused into the volume channels:
+         B(q) = sum_k w_k(q) A_k,  c(q) = sum_k w_k(q) t_k,  S(q) = sum_k w_k(q)
+     giving x_skel(p) = (B(p) p + c(p)) / clamp(S(p)) with ONE 16-channel
+     lookup per sample instead of 24.
+  2. resampling each bone's weight field onto a regular observation-space
+     grid has *structured* indices, so it can run as dense 2-hot einsums on
+     the MXU (no gathers at all): per bone, three axis contractions
+     V[z,y,x] -> phi_z -> phi_y -> phi_x.
+
+Per frame: build U (G,G,G,16) once (einsum resample, a few ms on MXU).
+Per sample: one 16-lane row trilerp (8 row gathers).
+
+This is an approximation (weights are interpolated twice: 32^3 canonical ->
+G^3 observation grid -> sample). With G >= 2x the canonical resolution the
+extra smoothing is far below the 32^3 field's own discretization. The exact
+single-interpolation path (ops/trilinear.py) remains available via
+cfg.warp.mode = 'exact' for reference-checkpoint parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _axis_phi(frac: jnp.ndarray, size: int, dtype=jnp.float32):
+    """Fractional index (N,) -> 2-hot lerp matrix (N, size) with zeros
+    padding semantics (out-of-range corners contribute 0)."""
+    i0 = jnp.floor(frac)
+    w = (frac - i0).astype(dtype)
+    v0 = ((i0 >= 0) & (i0 <= size - 1)).astype(dtype)
+    v1 = ((i0 + 1 >= 0) & (i0 + 1 <= size - 1)).astype(dtype)
+    i0c = jnp.clip(i0, 0, size - 1).astype(jnp.int32)
+    i1c = jnp.clip(i0 + 1, 0, size - 1).astype(jnp.int32)
+    # comparison-based one-hot (jax.nn.one_hot): pure VPU compares, no gather
+    h0 = jax.nn.one_hot(i0c, size, dtype=dtype)
+    h1 = jax.nn.one_hot(i1c, size, dtype=dtype)
+    return h0 * ((1 - w) * v0)[:, None] + h1 * (w * v1)[:, None]
+
+
+def make_obs_grid(obs_min: jnp.ndarray, obs_max: jnp.ndarray, grid_size: int):
+    """Regular grid over the observation bbox, layout [z, y, x] to match the
+    canonical volume layout. Returns (G^3, 3) xyz points."""
+    def lin(a, b):
+        return jnp.linspace(a, b, grid_size)
+    zs = lin(obs_min[2], obs_max[2])
+    ys = lin(obs_min[1], obs_max[1])
+    xs = lin(obs_min[0], obs_max[0])
+    zg, yg, xg = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    return jnp.stack([xg, yg, zg], axis=-1).reshape(-1, 3)
+
+
+def resample_bone_weights(vol: jnp.ndarray, pos: jnp.ndarray,
+                          cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
+                          dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Trilinearly sample one bone's (D, H, W) volume at positions (N, 3)
+    using dense 2-hot einsums (MXU) -- zero gathers.
+
+    Matches torch grid_sample(zeros, align_corners=True) semantics like
+    ops/trilinear.py; intended for *structured* N (a regular grid).
+    """
+    D, H, W = vol.shape
+    coords = (pos - cnl_bbox_min_xyz) * cnl_bbox_scale_xyz - 1.0  # (x,y,z)
+    fx = (coords[:, 0] + 1.0) * 0.5 * (W - 1)
+    fy = (coords[:, 1] + 1.0) * 0.5 * (H - 1)
+    fz = (coords[:, 2] + 1.0) * 0.5 * (D - 1)
+    phi_z = _axis_phi(fz, D, dtype)                       # (N, D)
+    phi_y = _axis_phi(fy, H, dtype)                       # (N, H)
+    phi_x = _axis_phi(fx, W, dtype)                       # (N, W)
+    # contract z: (N, D) @ (D, H*W) -> (N, H, W); then per-row y and x
+    prec = _HI if dtype == jnp.float32 else None
+    t1 = jnp.einsum("nd,dhw->nhw", phi_z, vol.astype(dtype),
+                    precision=prec, preferred_element_type=jnp.float32)
+    t2 = jnp.einsum("nh,nhw->nw", phi_y.astype(jnp.float32), t1,
+                    precision=_HI)
+    return jnp.einsum("nw,nw->n", phi_x.astype(jnp.float32), t2,
+                      precision=_HI)
+
+
+def build_fused_volume(motion_weights: jnp.ndarray,
+                       motion_scale_Rs: jnp.ndarray,
+                       motion_Ts: jnp.ndarray,
+                       cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
+                       obs_min, obs_max, grid_size: int,
+                       include_bone_weights: bool = False,
+                       dtype=jnp.bfloat16):
+    """Fuse all bones into one observation-space volume.
+
+    Returns U of shape (G, G, G, C) with channels
+      [0:9]  sum_k w_k A_k (row-major 3x3)
+      [9:12] sum_k w_k t_k
+      [12]   sum_k w_k            (fg likelihood)
+      [13:16] zero padding  (+ [16:16+K] per-bone w_k when requested,
+      padded to a lane multiple)
+    """
+    K = motion_weights.shape[0]
+    grid = make_obs_grid(obs_min, obs_max, grid_size)     # (G^3, 3)
+    # per-bone warped positions of every grid point, then MXU resample
+    ws = []
+    for k in range(K):  # static 24-way loop; each iteration is dense einsums
+        pos = grid @ motion_scale_Rs[k].T + motion_Ts[k]
+        ws.append(resample_bone_weights(motion_weights[k], pos,
+                                        cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
+                                        dtype))
+    w = jnp.stack(ws, axis=-1)                            # (G^3, K)
+    A_flat = motion_scale_Rs.reshape(K, 9)
+    feats = [w @ A_flat, w @ motion_Ts,
+             jnp.sum(w, axis=-1, keepdims=True),
+             jnp.zeros((w.shape[0], 3), w.dtype)]
+    if include_bone_weights:
+        pad = (-K) % 8
+        feats.append(w)
+        if pad:
+            feats.append(jnp.zeros((w.shape[0], pad), w.dtype))
+    U = jnp.concatenate(feats, axis=-1)
+    G = grid_size
+    return U.reshape(G, G, G, -1)
+
+
+def sample_fused_volume(U: jnp.ndarray, pts: jnp.ndarray, obs_min, obs_max):
+    """One multi-channel trilerp per point -> (x_skel, fg, bone_weights|None).
+
+    pts: (N, 3) observation-space points. Row gathers (all channels per
+    corner) keep this latency-efficient on TPU.
+    """
+    G = U.shape[0]
+    C = U.shape[-1]
+    rows = U.reshape(G * G * G, C)
+    scale = (G - 1) / (obs_max - obs_min)
+    f = (pts - obs_min) * scale                           # (N, 3) in [0, G-1]
+    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+
+    def axis(fr, size):
+        i0 = jnp.floor(fr)
+        w = fr - i0
+        v0 = ((i0 >= 0) & (i0 <= size - 1))
+        v1 = ((i0 + 1 >= 0) & (i0 + 1 <= size - 1))
+        return (jnp.clip(i0, 0, size - 1).astype(jnp.int32),
+                jnp.clip(i0 + 1, 0, size - 1).astype(jnp.int32),
+                jnp.where(v0, 1.0 - w, 0.0), jnp.where(v1, w, 0.0))
+
+    x0, x1, wx0, wx1 = axis(fx, G)
+    y0, y1, wy0, wy1 = axis(fy, G)
+    z0, z1, wz0, wz1 = axis(fz, G)
+
+    acc = 0.0
+    for zi, wz in ((z0, wz0), (z1, wz1)):
+        for yi, wy in ((y0, wy0), (y1, wy1)):
+            for xi, wx in ((x0, wx0), (x1, wx1)):
+                flat = (zi * G + yi) * G + xi
+                acc = acc + rows[flat] * (wz * wy * wx)[:, None]
+
+    B = acc[:, :9].reshape(-1, 3, 3)
+    c = acc[:, 9:12]
+    S = acc[:, 12:13]
+    x_skel = (jnp.einsum("nij,nj->ni", B, pts, precision=_HI) + c) \
+        / jnp.clip(S, 1e-4)
+    bone_w = acc[:, 16:] if acc.shape[-1] > 16 else None
+    return x_skel, S, bone_w

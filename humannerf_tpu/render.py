@@ -58,39 +58,58 @@ def run(cfg, run_type: str):
                                 dataset=cfg[run_type].get("dataset", "?"),
                                 metrics=cfg.eval.metrics)
 
+    # multihead eval: head_id -1 renders every head (run.py:75-82)
+    multi = cfg.multihead.head_num > 1 and cfg.test.head_id == -1
+    head_mode = "all" if multi else (
+        "select" if cfg.multihead.head_num > 1 else "single")
+    head_writers = None
+    if multi:
+        head_writers = [ImageWriter(out_dir + f"_h{h}", run_type)
+                        for h in range(cfg.multihead.head_num)]
+
     bg = np.array(cfg.bgcolor, np.float32) / 255.0
     for step, item in enumerate(loader):
         out = renderer.render_frame(params, item, cfg.eval_iter,
-                                    full_outputs=cfg.test.save_3d)
+                                    full_outputs=cfg.test.save_3d,
+                                    head_mode=head_mode,
+                                    head_id=int(cfg.test.head_id))
         W, H = item["img_width"], item["img_height"]
         truth = item.get("target_rgbs")
-        rgb_img, alpha_img, truth_img = unpack_to_image(
-            W, H, item["ray_mask"], bg, out["rgb"], alpha=out["alpha"],
-            truth=truth if truth is not None and truth.ndim == 2 else None)
-        if truth is not None and truth.ndim == 3:
-            truth_img = to_8b_image(truth)
-
-        imgs = [rgb_img]
-        if cfg.show_truth and truth_img is not None:
-            imgs.append(truth_img)
-        if cfg.show_alpha and alpha_img is not None:
-            imgs.append(alpha_img)
         name = item.get("frame_name", f"{step:06d}").replace("/", "-")
-        writer.append(np.concatenate(imgs, axis=1), img_name=f"{step:06d}")
+        heads = range(cfg.multihead.head_num) if multi else (None,)
+        for h in heads:
+            o = jax.tree.map(lambda x: x[h], out) if multi else out
+            rgb_img, alpha_img, truth_img = unpack_to_image(
+                W, H, item["ray_mask"], bg, o["rgb"], alpha=o["alpha"],
+                truth=truth if truth is not None and truth.ndim == 2 else None)
+            if truth is not None and truth.ndim == 3:
+                truth_img = to_8b_image(truth)
 
-        if metrics is not None and truth_img is not None:
-            metrics.append(name if name not in metrics.per_image
-                           else f"{name}_{step}",
-                           rgb_img, truth_img)
+            imgs = [rgb_img]
+            if cfg.show_truth and truth_img is not None:
+                imgs.append(truth_img)
+            if cfg.show_alpha and alpha_img is not None:
+                imgs.append(alpha_img)
+            w_ = head_writers[h] if multi else writer
+            w_.append(np.concatenate(imgs, axis=1), img_name=f"{step:06d}")
 
-        if cfg.test.save_3d:
-            w = out["weights_on_rays"]                     # (R, S)
-            keep = w.max(axis=1) > cfg.test.weight_threshold
-            xyz = (out["xyz_on_rays"][keep] * w[keep][..., None]).sum(axis=1)
-            rgbp = (out["rgb_on_rays"][keep] * w[keep][..., None]).sum(axis=1)
-            writer.append_cnl_3d(xyz, rgbp, obj_name=f"{step}-cnl")
+            if metrics is not None and truth_img is not None and not multi:
+                metrics.append(name if name not in metrics.per_image
+                               else f"{name}_{step}", rgb_img, truth_img)
+
+            if cfg.test.save_3d:
+                w = o["weights_on_rays"]                   # (R, S)
+                keep = w.max(axis=1) > cfg.test.weight_threshold
+                xyz = (o["xyz_on_rays"][keep]
+                       * w[keep][..., None]).sum(axis=1)
+                rgbp = (o["rgb_on_rays"][keep]
+                        * w[keep][..., None]).sum(axis=1)
+                w_.append_cnl_3d(xyz, rgbp, obj_name=f"{step}-cnl")
 
     writer.finalize()
+    if head_writers:
+        for w_ in head_writers:
+            w_.finalize()
     if metrics is not None:
         avg = metrics.finalize()
         print("metrics:", {k: round(v, 4) for k, v in avg.items()})

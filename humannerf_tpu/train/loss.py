@@ -8,6 +8,7 @@ gather -- static shapes, no host sync, fuses under jit.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from humannerf_tpu.models.lpips import lpips_distance, scale_for_lpips
@@ -51,3 +52,48 @@ def total_loss(losses: dict, lossweights: dict):
             out[k] = losses[k]
             total = total + w * losses[k]
     return total, out
+
+
+def argmin_multihead_loss(rgb_heads: jnp.ndarray, patch_ray_idx, bgcolor01,
+                          targets, lossweights: dict, argmin_cfg,
+                          lpips_params=None, lpips_layers=(0, 1, 2, 3, 4)):
+    """Argmin head selection (reference trainer.py:124-161): every head is
+    rendered, the head minimizing the (stop-gradient) selector criteria gets
+    the full loss weights, the others get `unselected_lossweights`.
+
+    rgb_heads: (K, R_cap, 3). Returns (train_loss, loss_dict).
+    """
+    loss_names = [k for k, w in lossweights.items() if w > 0]
+    sel_w = {k: float(v) for k, v in argmin_cfg.selector_criteria.items()
+             if float(v) != 0.0}
+    assert "ssim" not in sel_w or sel_w["ssim"] == 0.0, \
+        "ssim selector criterion not supported yet"
+    unsel_w = {k: float(v)
+               for k, v in argmin_cfg.unselected_lossweights.items()}
+
+    K = rgb_heads.shape[0]
+    per_head_losses = []
+    criteria = []
+    for h in range(K):
+        patch = gather_patch_images(rgb_heads[h], patch_ray_idx, bgcolor01)
+        losses = image_losses(patch, targets, loss_names, lpips_params,
+                              lpips_layers)
+        per_head_losses.append(losses)
+        crit = sum(w * losses[k] for k, w in sel_w.items() if k in losses)
+        criteria.append(jax.lax.stop_gradient(crit))
+
+    criteria = jnp.stack(criteria)                        # (K,)
+    best = jnp.argmin(criteria)
+    total = 0.0
+    loss_dict = {"best_head": best.astype(jnp.float32)}
+    for h in range(K):
+        sel = sum(lossweights[k] * per_head_losses[h][k] for k in loss_names)
+        uns = sum(w * per_head_losses[h].get(k, 0.0)
+                  for k, w in unsel_w.items() if w > 0)
+        total = total + jnp.where(best == h, sel, uns)
+        for k in loss_names:
+            loss_dict[f"{k}_head{h}"] = per_head_losses[h][k]
+    for k in loss_names:
+        stacked = jnp.stack([per_head_losses[h][k] for h in range(K)])
+        loss_dict[k] = stacked[best]
+    return total, loss_dict

@@ -27,14 +27,18 @@ from humannerf_tpu.models.lpips import init_lpips_params
 from humannerf_tpu.models.network import HumanNeRF
 from humannerf_tpu.parallel import mesh as mesh_lib
 from humannerf_tpu.train import checkpoint as ckpt
-from humannerf_tpu.train.loss import (gather_patch_images, image_losses,
+from humannerf_tpu.train.loss import (argmin_multihead_loss,
+                                      gather_patch_images, image_losses,
                                       total_loss)
 from humannerf_tpu.train.optimizer import make_optimizer
 from humannerf_tpu.utils.image import tile_images, to_8b_image, unpack_to_image
 
 FRAME_KEYS = ("dst_Rs", "dst_Ts", "cnl_gtfms", "motion_weights_priors",
               "dst_posevec", "cnl_bbox_min_xyz", "cnl_bbox_scale_xyz",
-              "bgcolor", "pose_condition")
+              "dst_bbox_min_xyz", "dst_bbox_max_xyz",
+              "bgcolor", "pose_condition", "pose_condition_cmlp",
+              "frame_id", "dir_idx", "dst_Rs_history", "dst_Ts_history",
+              "dst_posevec_history", "w2c_history", "rgb_history")
 RAY_KEYS = ("rays_o", "rays_d", "rays_d_camera", "near", "far")
 
 
@@ -57,22 +61,24 @@ class EvalRenderer:
         self.chunk = chunk
         self._jitted = {}
 
-    def _fn(self, n_padded: int, full_outputs: bool):
-        key = (n_padded, full_outputs)
+    def _fn(self, n_padded: int, full_outputs: bool, head_mode: str):
+        key = (n_padded, full_outputs, head_mode)
         if key not in self._jitted:
             net, chunk = self.net, self.chunk
 
             @jax.jit
-            def render(params, frame, rays, iter_val):
+            def render(params, frame, rays, iter_val, head_id):
                 return net.render_rays(params, frame, rays, iter_val,
                                        chunk=min(chunk, n_padded),
                                        perturb=False,
-                                       full_outputs=full_outputs)
+                                       full_outputs=full_outputs,
+                                       head_id=head_id, head_mode=head_mode)
             self._jitted[key] = render
         return self._jitted[key]
 
     def render_frame(self, params, item: dict, iter_val: float,
-                     full_outputs: bool = False) -> dict:
+                     full_outputs: bool = False, head_mode: str = "single",
+                     head_id: int = 0) -> dict:
         n = item["rays_o"].shape[0]
         n_pad = max(self.chunk, int(np.ceil(n / self.chunk)) * self.chunk)
         rays = {}
@@ -81,8 +87,11 @@ class EvalRenderer:
             pad = np.zeros((n_pad - n,) + v.shape[1:], v.dtype)
             rays[k] = jnp.asarray(np.concatenate([v, pad], axis=0))
         frame = {k: jnp.asarray(item[k]) for k in FRAME_KEYS if k in item}
-        out = self._fn(n_pad, full_outputs)(
-            params, frame, rays, jnp.asarray(float(iter_val)))
+        out = self._fn(n_pad, full_outputs, head_mode)(
+            params, frame, rays, jnp.asarray(float(iter_val)),
+            jnp.asarray(max(head_id, 0), jnp.int32))
+        if head_mode == "all":
+            return jax.tree.map(lambda x: np.asarray(x)[:, :n], out)
         return jax.tree.map(lambda x: np.asarray(x)[:n], out)
 
 
@@ -124,11 +133,25 @@ class Trainer:
         lpips_params = self.lpips_params
         lpips_layers = tuple(cfg.lpips.layers)
         perturb = cfg.train.perturb > 0
+        # multihead training mode is static per run (trainer.py:124-161):
+        # argmin split renders all heads; view/random/file select one
+        if cfg.multihead.head_num > 1:
+            head_mode = "all" if cfg.multihead.split == "argmin" else "select"
+        else:
+            head_mode = "single"
+        argmin_cfg = cfg.multihead.argmin_cfg
 
         def loss_fn(params, batch, rng, iter_val):
             frame, rays = split_batch(batch)
             out = net.render_rays(params, frame, rays, iter_val, rng,
-                                  perturb=perturb, remat=True)
+                                  perturb=perturb, remat=True,
+                                  head_id=batch.get("head_id", 0),
+                                  head_mode=head_mode)
+            if head_mode == "all":
+                return argmin_multihead_loss(
+                    out["rgb"], batch["patch_ray_idx"],
+                    batch["bgcolor"] / 255.0, batch["target_patches"],
+                    lossweights, argmin_cfg, lpips_params, lpips_layers)
             patch_imgs = gather_patch_images(
                 out["rgb"], batch["patch_ray_idx"], batch["bgcolor"] / 255.0)
             losses = image_losses(patch_imgs, batch["target_patches"],
@@ -164,7 +187,7 @@ class Trainer:
             step_key, self.rng = jax.random.split(self.rng)
             device_batch = mesh_lib.put_batch(
                 {k: v for k, v in batch.items()
-                 if k not in ("frame_name", "frame_id", "num_valid_rays")},
+                 if k not in ("frame_name", "num_valid_rays")},
                 self.mesh)
             self.params, self.opt_state, loss, loss_dict = self._train_step(
                 self.params, self.opt_state, device_batch, step_key,

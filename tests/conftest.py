@@ -1,8 +1,13 @@
-"""Test harness: run JAX on CPU with 8 virtual devices (multi-chip testing)."""
+"""Test harness: run JAX on CPU with 8 virtual devices (multi-chip testing).
+
+Force-override JAX_PLATFORMS: this machine's profile exports
+JAX_PLATFORMS=axon (the tunneled TPU), and tests must never contend for the
+single real chip.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -114,6 +114,7 @@ def test_xavier_gain_scaling():
     w_relu = xavier_uniform_linear(jax.random.key(0), 256, 256, np.sqrt(2))
     w_lin = xavier_uniform_linear(jax.random.key(0), 256, 256, 1.0)
     np.testing.assert_allclose(np.asarray(w_relu),
-                               np.asarray(w_lin) * np.sqrt(2), rtol=1e-6)
+                               np.asarray(w_lin) * np.sqrt(2),
+                               rtol=1e-5, atol=1e-7)
     bound = np.sqrt(2) * np.sqrt(2.0 / 512) * np.sqrt(3)
     assert np.abs(np.asarray(w_relu)).max() <= bound + 1e-6

@@ -23,6 +23,8 @@ def make_synthetic_frame(seed=0, grid=16):
     bbox = skeleton_to_bbox(joints)
     dst_Rs, dst_Ts = body_pose_to_body_RTs(poses, joints)
     frame = {
+        "dst_bbox_min_xyz": jnp.asarray(bbox["min_xyz"], dtype=jnp.float32),
+        "dst_bbox_max_xyz": jnp.asarray(bbox["max_xyz"], dtype=jnp.float32),
         "dst_Rs": jnp.asarray(dst_Rs),
         "dst_Ts": jnp.asarray(dst_Ts),
         "cnl_gtfms": jnp.asarray(get_canonical_global_tfms(joints)),
@@ -46,8 +48,8 @@ def make_rays(n=64, seed=0):
         "rays_o": jnp.tile(jnp.asarray(origin), (n, 1)),
         "rays_d": jnp.asarray(rays_d),
         "rays_d_camera": jnp.asarray(rays_d),
-        "near": jnp.full((n,), 2.0, jnp.float32),
-        "far": jnp.full((n,), 4.0, jnp.float32),
+        "near": jnp.full((n,), 0.7, jnp.float32),
+        "far": jnp.full((n,), 1.3, jnp.float32),
     }
     return rays
 

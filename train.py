@@ -18,6 +18,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from humannerf_tpu import runtime
+    runtime.setup()
     from humannerf_tpu.config import make_cfg
     cfg = make_cfg(args.cfg, args.opts)
     np.random.seed(cfg.random_seed)
