@@ -29,9 +29,12 @@ from humannerf_tpu.utils.body import (approx_gaussian_bone_volumes,
                                       get_canonical_global_tfms, rodrigues,
                                       skeleton_to_bbox)
 from humannerf_tpu.utils.camera import (apply_global_tfm_to_camera,
-                                        get_camrot, get_rays_from_KRT,
-                                        rays_intersect_3d_bbox,
+                                        get_camrot,
                                         rotate_camera_by_frame_idx)
+# ray generation + AABB culling run per item over H*W rays: use the C++
+# host kernels (humannerf_tpu/native) with automatic numpy fallback
+from humannerf_tpu.native.hostops import (get_rays_from_KRT,
+                                          rays_intersect_3d_bbox)
 from humannerf_tpu.utils.image import load_image, to_3ch_image
 
 

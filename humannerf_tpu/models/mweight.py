@@ -64,14 +64,17 @@ def _conv_transpose3d(x, w_torch, b, *, stride: int = 2, kernel: int = 4,
     and in/out swapped, padding k-1-p). x: (N, C, D, H, W)."""
     w = jnp.flip(w_torch, axis=(2, 3, 4)).transpose(1, 0, 2, 3, 4)  # (O,I,k,k,k)
     eff_pad = kernel - 1 - pad
+    # output dtype matches operand dtype: a mixed bf16-in/f32-out conv breaks
+    # the autodiff transpose rule (cotangent dtype mismatch); the MXU still
+    # accumulates in f32 internally for bf16 operands
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(1, 1, 1),
         padding=[(eff_pad, eff_pad)] * 3,
         lhs_dilation=(stride,) * 3,
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        precision=jax.lax.Precision.HIGHEST,  # full precision for f32 operands
-        preferred_element_type=jnp.float32)
+        precision=prec)
     return y + b[None, :, None, None, None]
 
 

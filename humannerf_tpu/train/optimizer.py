@@ -37,8 +37,13 @@ def label_params(cfg, params) -> dict:
             for k, v in params.items()}
 
 
-def make_optimizer(cfg, params):
-    """Build the optax GradientTransformation + initial state."""
+def make_optimizer(cfg, params, frozen_modules=()):
+    """Build the optax GradientTransformation + initial state.
+
+    frozen_modules: top-level param keys that get zero updates -- the
+    functional equivalent of the reference's requires_grad=False freezing
+    (create_network.py:40-63, network_util.py:298-304).
+    """
     decay_steps = cfg.train.lrate_decay * 1000
 
     def sched(base_lr):
@@ -46,10 +51,14 @@ def make_optimizer(cfg, params):
             init_value=base_lr, transition_steps=decay_steps,
             decay_rate=0.1, staircase=False)
 
-    transforms = {"base": optax.adam(sched(cfg.train.lr), b1=0.9, b2=0.999)}
+    transforms = {"base": optax.adam(sched(cfg.train.lr), b1=0.9, b2=0.999),
+                  "frozen": optax.set_to_zero()}
     for name in customized_lr_names(cfg):
         transforms[name] = optax.adam(sched(cfg.train[f"lr_{name}"]),
                                       b1=0.9, b2=0.999)
     labels = label_params(cfg, params)
+    import jax
+    for key in frozen_modules:
+        labels[key] = jax.tree.map(lambda _: "frozen", params[key])
     tx = optax.multi_transform(transforms, labels)
     return tx, tx.init(params)

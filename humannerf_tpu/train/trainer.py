@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import functools
 import os
-import time
 
 import jax
 import jax.numpy as jnp
@@ -105,7 +104,11 @@ class Trainer:
 
         init_key, self.rng = jax.random.split(self.rng)
         self.params = self.net.init_params(init_key)
-        self.tx, self.opt_state = make_optimizer(cfg, self.params)
+        from humannerf_tpu.train.modules import apply_pretrained_modules
+        self.params, frozen = apply_pretrained_modules(cfg, self.params)
+        if frozen:
+            self.log(f"frozen pretrained modules: {frozen}")
+        self.tx, self.opt_state = make_optimizer(cfg, self.params, frozen)
         self.lpips_params = init_lpips_params(cfg.lpips.weights) \
             if cfg.train.lossweights.get("lpips", 0) > 0 else None
 
@@ -179,8 +182,12 @@ class Trainer:
         maxiter = cfg.train.maxiter if max_steps is None \
             else self.iter + max_steps - 1
 
-        t0 = time.time()
-        n_done = 0
+        from humannerf_tpu.utils.tracing import (ExperimentLogger, Profiler,
+                                                 StepTimer)
+        os.makedirs(cfg.logdir, exist_ok=True)
+        timer = StepTimer()
+        profiler = Profiler()
+        exp_log = ExperimentLogger(cfg.logdir, name=cfg.experiment)
         for batch in loader.endless():
             if self.iter > maxiter:
                 break
@@ -189,19 +196,21 @@ class Trainer:
                 {k: v for k, v in batch.items()
                  if k not in ("frame_name", "num_valid_rays")},
                 self.mesh)
-            self.params, self.opt_state, loss, loss_dict = self._train_step(
-                self.params, self.opt_state, device_batch, step_key,
-                jnp.asarray(float(self.iter)))
+            with profiler.trace(f"iter_{self.iter}"):
+                self.params, self.opt_state, loss, loss_dict = \
+                    self._train_step(
+                        self.params, self.opt_state, device_batch, step_key,
+                        jnp.asarray(float(self.iter)))
 
-            n_done += 1
+            timer.tick()
             if self.iter % cfg.train.log_interval == 0:
                 loss_v = float(loss)
-                dt = time.time() - t0
-                rate = n_done / max(dt, 1e-9)
-                items = " ".join(f"{k}: {float(v):.4f}"
-                                 for k, v in loss_dict.items())
+                metrics = {k: float(v) for k, v in loss_dict.items()}
+                items = " ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
                 self.log(f"[iter {self.iter}] loss {loss_v:.4f} [{items}] "
-                         f"({rate:.2f} it/s)")
+                         f"({timer.rate():.2f} it/s)")
+                exp_log.log({"loss": loss_v, "it_per_sec": timer.rate(),
+                             **metrics}, step=self.iter)
 
             if (self.iter in (self.start_iter, 100, 300, 1000, 2500)
                     or self.iter % cfg.progress.dump_interval == 0):

@@ -1,0 +1,8 @@
+#!/usr/bin/env bash
+# Render freeview for a trained model (reference scripts/wild/render_freeview.sh).
+SUBJECT=${1:-387}
+EXTRA=""
+if [ "freeview" = "freeview" ]; then EXTRA="freeview.frame_idx ${2:-0}"; fi
+CFG=humannerf_tpu/configs/wild/${SUBJECT}/adventure.yaml
+if [ "wild" = "wild" ]; then CFG=humannerf_tpu/configs/wild/monocular/adventure.yaml; fi
+python run.py --type freeview --cfg $CFG load_net latest $EXTRA
