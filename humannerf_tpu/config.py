@@ -170,6 +170,32 @@ def default_config() -> CN:
             "condition_code_delay": False,
             "kick_in_iter": 10000,
             "full_band_iter": 50000,
+            "mlpseq": {"hidden_dim": 128, "output_dim": 64, "seq_len": 8,
+                       "non_linear": True, "depth": 1},
+            "selfattention": {"hidden_dim": 128, "output_dim": 64,
+                              "positional_encoding_type": "learnable",
+                              "pe_order": "after_fc", "pe_dim": 32,
+                              "max_length": 8, "in_proj": "fc-relu"},
+            "input_encoder": {
+                "enable": False,
+                "version": "v1",
+                "seq_len": 8,
+                "temporal_enc_method": "selfattention",
+                "temporal_enc_cfg_selfattention": {
+                    "hidden_dim": 64, "output_dim": 32,
+                    "positional_encoding_type": "sine_fourier", "pe_dim": 8},
+                "temporal_enc_cfg_mlp": {"hidden_dim": 64, "output_dim": 32,
+                                         "non_linear": True, "depth": 1},
+                "spatial_localize_cfg": {"enable": True, "threshold": -1.0,
+                                         "part2joints_file": "empty",
+                                         "fg_threshold": 0.2},
+                "spatial_enc_method": "mlp",
+                "spatial_enc_cfg_mlp": {"hidden_dim": 64, "output_dim": 32,
+                                        "non_linear": True, "depth": 1},
+                "fuse_method": "concat",
+                "fuse_enc_cfg_tmlp": {"hidden_dim": 1, "output_dim": 0,
+                                      "non_linear": True, "depth": 1},
+            },
             "time_input": False,
             "time_embed": "vocab",
             "time_vocab_n": 654,
@@ -286,12 +312,14 @@ def default_config() -> CN:
             "save_checkpt_interval": 2000,
             "save_model_interval": 50000,
             "ray_shoot_mode": "patch",
+            "remat": True,
             "lossweights": {"lpips": 1.0, "mse": 0.2, "l1": 0.0},
             "selected_frame": "all",
             "frames_per_step": 1,
         },
         "test": {"head_id": -1, "weight_threshold": 0.3, "type": "skip",
-                 "save_3d": False, "save_3d_together": False},
+                 "save_3d": False, "save_3d_together": False,
+                 "dir_view": None},
         "train_render": {"batch_size": 1, "shuffle": False, "drop_last": False},
         "progress": {"batch_size": 1, "shuffle": False, "drop_last": False,
                      "dump_interval": 5000},
@@ -328,7 +356,7 @@ def default_config() -> CN:
         #   fused: per-frame fused observation-space volume (fast, mild
         #          double-interpolation smoothing)
         #   exact: reference-parity per-bone trilerp (slow XLA gathers)
-        "warp": {"mode": "fused", "grid_size": 64,
+        "warp": {"mode": "fused", "grid_size": 48,
                  "include_bone_weights": False, "bbox_margin": 0.05},
     })
 

@@ -196,6 +196,7 @@ class Dataset(BaseHumanDataset):
             mask = cv2.undistort(mask, K, D)
 
         mask = mask / 255.0
+        img = self._color_perturb_per_view(img, frame_name)
         img = mask * img + (1.0 - mask) * bg_color[None, None, :]
         if cfg.resize_img_scale != 1.0:
             import cv2
@@ -206,6 +207,34 @@ class Dataset(BaseHumanDataset):
                               fy=cfg.resize_img_scale,
                               interpolation=cv2.INTER_LINEAR)
         return img.astype(np.float32), mask.astype(np.float32)
+
+    # -- color perturbation experiments (train.py:342-405) ---------------------
+
+    def _color_perturb_per_view(self, img, frame_name):
+        """Per-view color perturbation ablation (train.py:375-405)."""
+        exp = self.cfg.experiments
+        if exp.color_perturbation != "per_view":
+            return img
+        _, camera = _parse_frame_camera(frame_name)
+        img = img.astype(np.float32)
+        if exp.color_perturbation_strength == "strong":
+            if camera == 0:
+                img[:, :, 0] = np.clip(img[:, :, 0] * 0.8 - 0.2, 0, 1)
+            elif camera == 6:
+                img[:, :, 1] = np.clip(img[:, :, 1] * 1.2 + 0.2, 0, 1)
+            elif camera == 12:
+                img = img * 0.5
+        elif exp.color_perturbation_strength == "weak":
+            scale = {0: 0.6, 6: 0.8, 12: 1.2}.get(camera)
+            if scale is not None:
+                img = np.clip(img * scale, 0, 255)
+        return img
+
+    def _color_perturb_per_pixel(self, img, alpha, rays_d):
+        """Direction-dependent pixel perturbation (train.py:342-349)."""
+        scale = (rays_d @ np.array([1.0, 1.0, 1.0]) + 2.0) / 2.5
+        perturbed = np.clip(img * scale[..., None], 0, 1)
+        return (perturbed * alpha + img * (1 - alpha)).astype(np.float32)
 
     # -- patch sampling --------------------------------------------------------
 
@@ -362,6 +391,12 @@ class Dataset(BaseHumanDataset):
         E = apply_global_tfm_to_camera(E0, info["Rh"], info["Th"])
         rays_o, rays_d = get_rays_from_KRT(H, W, K, E[:3, :3], E[:3, 3])
 
+        if cfg.experiments.color_perturbation == "per_pixel":
+            d = rays_d_camera if (cfg.experiments
+                                  .color_perturbation_according_to
+                                  == "camera") else rays_d
+            img = self._color_perturb_per_pixel(img, alpha, d)
+
         ray_img = img.reshape(-1, 3)
         rays_o = rays_o.reshape(-1, 3)
         rays_d = rays_d.reshape(-1, 3)
@@ -370,6 +405,24 @@ class Dataset(BaseHumanDataset):
         near, far, ray_mask = rays_intersect_3d_bbox(dst_bbox, rays_o, rays_d)
         rays_o, rays_d = rays_o[ray_mask], rays_d[ray_mask]
         ray_img, rays_d_camera = ray_img[ray_mask], rays_d_camera[ray_mask]
+
+        # view-direction generalization probe: substitute the ray directions
+        # of a different training camera (reference TEST_DIR env toggle,
+        # train.py:598-613) -- configured as cfg.test.dir_view here
+        dir_view = cfg.test.get("dir_view", None)
+        if dir_view is not None and self.ray_shoot_mode == "image":
+            probe_name = next(
+                (f for f in self.framelist_all
+                 if _parse_frame_camera(f)[1] == int(dir_view)), None)
+            if probe_name is not None:
+                Kp = self.cameras[probe_name]["intrinsics"][:3, :3].copy()
+                Kp[:2] *= cfg.resize_img_scale
+                Ep = apply_global_tfm_to_camera(
+                    self.cameras[probe_name]["extrinsics"],
+                    info["Rh"], info["Th"])
+                _, rays_dp = get_rays_from_KRT(H, W, Kp, Ep[:3, :3],
+                                               Ep[:3, 3])
+                rays_d_camera = rays_dp.reshape(-1, 3)[ray_mask]
 
         if self.ray_shoot_mode == "patch":
             sel, targets, patch_ray_idx, n_valid = self.sample_patch_rays(

@@ -66,9 +66,13 @@ def init_lpips_params(weights_path: str | None = None,
         # normalized feature distance
         params["lins"].append({"w": jnp.full((1, ch, 1, 1), 1.0 / ch,
                                              jnp.float32)})
-    # overlay the reference lin heads when they are available on disk
+    # overlay the reference-trained lin heads: env override, else the
+    # in-repo asset (LPIPS v0.1 vgg lins, BSD licensed, ~6KB)
     lin_path = os.environ.get("LPIPS_LIN_WEIGHTS", "")
-    if lin_path and os.path.isfile(lin_path):
+    if not (lin_path and os.path.isfile(lin_path)):
+        lin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "assets", "lpips_v01_vgg_lins.pkl")
+    if os.path.isfile(lin_path):
         with open(lin_path, "rb") as f:
             lins = pickle.load(f)
         params["lins"] = [{"w": jnp.asarray(w)} for w in lins]
@@ -92,10 +96,17 @@ def _maxpool2(x):
 
 
 def vgg_features(params, x):
-    """x: (N, 3, H, W) scaled input -> list of 5 feature maps."""
+    """x: (N, 3, H, W) scaled input -> list of feature maps.
+
+    Stops before a pool would produce an empty map (inputs smaller than
+    2^4: the torch reference simply crashes there), so the returned list
+    may be shorter than 5 for tiny patches.
+    """
     feats = []
     for bi, block in enumerate(params["features"]):
         if bi > 0:
+            if min(x.shape[-2:]) < 2:
+                break
             x = _maxpool2(x)
         for p in block:
             x = jax.nn.relu(_conv3x3(x, p))
@@ -119,6 +130,7 @@ def lpips_distance(params, in0, in1, layers=(0, 1, 2, 3, 4),
     x1 = (in1 - _SHIFT[None, :, None, None]) / _SCALE[None, :, None, None]
     f0 = vgg_features(params, x0)
     f1 = vgg_features(params, x1)
+    layers = [k for k in layers if k < len(f0)]
     total = 0.0
     for k in layers:
         d = (_normalize_tensor(f0[k]) - _normalize_tensor(f1[k])) ** 2

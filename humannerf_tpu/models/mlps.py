@@ -72,7 +72,8 @@ def init_canonical_mlp(key, *, input_ch: int, mlp_depth: int = 8,
                        head_num: int = 1, head_depth: int = 1,
                        view_dir: bool = False,
                        input_ch_dir: int = 0, pose_color: str = "wo",
-                       pose_ch: int = 69, extra_input_ch: int = 0):
+                       pose_ch: int = 69, extra_input_ch: int = 0,
+                       first_layer_in_ch: int | None = None):
     """Build canonical-MLP params (mlp_rgb_sigma.py:64-130).
 
     extra_input_ch covers condition-code / time / rgb-history widths appended
@@ -82,7 +83,10 @@ def init_canonical_mlp(key, *, input_ch: int, mlp_depth: int = 8,
     keys = iter(jax.random.split(key, 64))
     layers = []
     wide = mlp_width * last_linear_scale
-    in_dim = input_ch + extra_input_ch
+    # first_layer_in_ch overrides the first-layer width (input-encoder mode,
+    # mlp_rgb_sigma.py:36-41); skip layers always re-concat the raw pos embed
+    in_dim = first_layer_in_ch if first_layer_in_ch is not None \
+        else input_ch + extra_input_ch
     layers.append(linear_params(next(keys), in_dim, mlp_width, GAIN_RELU))
     cur = mlp_width
     for i in range(mlp_depth + mlp_depth_plus - 1):
@@ -132,7 +136,7 @@ def init_canonical_mlp(key, *, input_ch: int, mlp_depth: int = 8,
 
 
 def apply_canonical_mlp(params, pos_embed, *, skips=(4,), dir_embed=None,
-                        pose_latent=None, extra_input=None,
+                        pose_latent=None, extra_input=None, first_input=None,
                         pose_color: str = "wo", view_dir: bool = False,
                         dtype=jnp.float32):
     """Forward pass -> (N, 4*head_num) raw rgb logits + density.
@@ -142,8 +146,12 @@ def apply_canonical_mlp(params, pos_embed, *, skips=(4,), dir_embed=None,
     (mlp_rgb_sigma.py:94-96).
     """
     skips = set(skips)
-    h = pos_embed if extra_input is None else jnp.concatenate(
-        [pos_embed, extra_input], axis=-1)
+    if first_input is not None:       # input-encoder mode: precomputed input
+        h = first_input
+    elif extra_input is not None:
+        h = jnp.concatenate([pos_embed, extra_input], axis=-1)
+    else:
+        h = pos_embed
     for li, p in enumerate(params["pts_linears"]):
         # layer li > 0 corresponds to loop index i = li - 1 in the reference
         if li > 0 and (li - 1) in skips:

@@ -146,7 +146,7 @@ class HumanNeRF:
         (mlp_rgb_sigma.py:36-63)."""
         c = self.cfg.canonical_mlp
         ch = 0
-        if c.condition_code_dim > 0:
+        if c.condition_code_dim > 0 and not c.input_encoder.enable:
             enc = c.condition_code_encoder.lower()
             if enc == "selfattention":
                 ch += c.selfattention.output_dim
@@ -198,7 +198,26 @@ class HumanNeRF:
         if c.time_input and c.time_embed == "vocab":
             params["time_embed_fn_cnl"] = emb.init_vocab_embedder(
                 next(keys), c.time_vocab_n, c.time_dim)
-        if c.condition_code_dim > 0:
+        if c.input_encoder.enable:
+            from humannerf_tpu.models.input_encoder import (
+                init_input_encoder, input_encoder_output_dim)
+            params["input_encoder"] = init_input_encoder(
+                next(keys), input_ch=self.cnl_pos_embed_dim,
+                condition_code_dim=c.condition_code_dim,
+                **{k: v for k, v in c.input_encoder.items()
+                   if k != "enable"})
+            # rebuild the canonical MLP with the encoder-sized first layer
+            params["cnl_mlp"] = mlps.init_canonical_mlp(
+                k_cnl, input_ch=self.cnl_pos_embed_dim, mlp_depth=c.mlp_depth,
+                mlp_width=c.mlp_width, mlp_depth_plus=c.mlp_depth_plus,
+                last_linear_scale=c.last_linear_scale, view_dir=c.view_dir,
+                input_ch_dir=self.dir_embed_dim, pose_color=c.pose_color,
+                pose_ch=c.pose_ch,
+                head_num=self.head_num if self.cnl_multi else 1,
+                head_depth=c.multihead.head_depth,
+                first_layer_in_ch=input_encoder_output_dim(
+                    params["input_encoder"]) + self._cnl_extra_input_ch())
+        elif c.condition_code_dim > 0:
             encoder = c.condition_code_encoder.lower()
             if encoder == "selfattention":
                 params["condition_code_encoder"] = enc.init_selfattention(
@@ -295,14 +314,6 @@ class HumanNeRF:
         if c.condition_code_dim > 0 and "pose_condition_cmlp" in frame:
             from humannerf_tpu.models import encoders as enc
             cond = frame["pose_condition_cmlp"]
-            encoder = c.condition_code_encoder.lower()
-            if encoder == "selfattention":
-                cond = enc.apply_selfattention(
-                    params["condition_code_encoder"], cond,
-                    dtype=self.compute_dtype)
-            elif encoder == "mlpseq":
-                cond = enc.apply_mlpseq(params["condition_code_encoder"],
-                                        cond, dtype=self.compute_dtype)
             # delay gating (mlp_rgb_sigma.py:135-158) as a traced ramp
             if c.condition_code_delay:
                 gate = jnp.clip(
@@ -310,7 +321,20 @@ class HumanNeRF:
                     / max(c.full_band_iter - c.kick_in_iter, 1), 0.0, 1.0)
             else:
                 gate = 1.0
-            ctx["condition_code_cmlp"] = cond * gate
+            ctx["cnl_gate"] = gate
+            if c.input_encoder.enable:
+                # raw (T, 23, Dp) sequence: encoded per sample in _apply_cnl
+                ctx["condition_code_cmlp_raw"] = cond
+            else:
+                encoder = c.condition_code_encoder.lower()
+                if encoder == "selfattention":
+                    cond = enc.apply_selfattention(
+                        params["condition_code_encoder"], cond,
+                        dtype=self.compute_dtype)
+                elif encoder == "mlpseq":
+                    cond = enc.apply_mlpseq(params["condition_code_encoder"],
+                                            cond, dtype=self.compute_dtype)
+                ctx["condition_code_cmlp"] = cond * gate
         if "dir_idx" in frame:
             ctx["dir_idx"] = frame["dir_idx"]
 
@@ -398,11 +422,22 @@ class HumanNeRF:
         if rgb_dyn is not None:
             extra.append(rgb_dyn)                   # appended last (ref order)
         extra_input = jnp.concatenate(extra, axis=-1) if extra else None
+        first_input = None
+        if c.input_encoder.enable:
+            from humannerf_tpu.models.input_encoder import apply_input_encoder
+            first_input = apply_input_encoder(
+                params["input_encoder"], pos_embed,
+                ctx["condition_code_cmlp_raw"], bw_weights,
+                gate_weight=ctx.get("cnl_gate", 1.0),
+                dtype=self.compute_dtype)
+            if extra_input is not None:
+                first_input = jnp.concatenate([first_input, extra_input],
+                                              axis=-1)
         return mlps.apply_canonical_mlp(
             params["cnl_mlp"], pos_embed,
             skips=(4,), dir_embed=dir_embed,
             pose_latent=ctx["pose_latent"],
-            extra_input=extra_input,
+            extra_input=extra_input, first_input=first_input,
             pose_color=c.pose_color,
             view_dir=c.view_dir,
             dtype=self.compute_dtype)

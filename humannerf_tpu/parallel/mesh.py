@@ -52,3 +52,27 @@ def put_batch(batch: dict, mesh: Mesh) -> dict:
     """Device-put a host batch with the training sharding layout."""
     sh = batch_shardings(mesh, batch)
     return {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
+
+
+def put_frame_batch(batch: dict, mesh: Mesh) -> dict:
+    """Device-put a multi-frame batch: every leaf's leading dim is the frame
+    axis, sharded over 'data' (true data parallelism: one frame per chip
+    when frames_per_step == mesh size)."""
+    n_dev = mesh.devices.size
+
+    def place(v):
+        if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] % n_dev == 0:
+            spec = P(*(("data",) + (None,) * (v.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(v, NamedSharding(mesh, spec))
+
+    return {k: place(v) for k, v in batch.items()}
+
+
+def collate_frames(items: list[dict]) -> dict:
+    """Stack per-frame dataset items into a leading frame axis."""
+    import numpy as _np
+    keys = [k for k in items[0] if k != "frame_name"]
+    return {k: _np.stack([_np.asarray(it[k]) for it in items], axis=0)
+            for k in keys}

@@ -68,9 +68,11 @@ def run(cfg, run_type: str):
                         for h in range(cfg.multihead.head_num)]
 
     bg = np.array(cfg.bgcolor, np.float32) / 255.0
+    save_together = {}
+    full_outputs = cfg.test.save_3d or cfg.test.save_3d_together
     for step, item in enumerate(loader):
         out = renderer.render_frame(params, item, cfg.eval_iter,
-                                    full_outputs=cfg.test.save_3d,
+                                    full_outputs=full_outputs,
                                     head_mode=head_mode,
                                     head_id=int(cfg.test.head_id))
         W, H = item["img_width"], item["img_height"]
@@ -97,15 +99,24 @@ def run(cfg, run_type: str):
                 metrics.append(name if name not in metrics.per_image
                                else f"{name}_{step}", rgb_img, truth_img)
 
-            if cfg.test.save_3d:
+            if cfg.test.save_3d or cfg.test.save_3d_together:
                 w = o["weights_on_rays"]                   # (R, S)
-                keep = w.max(axis=1) > cfg.test.weight_threshold
+                wmax = w.max(axis=1)
+                keep = wmax > cfg.test.weight_threshold
                 xyz = (o["xyz_on_rays"][keep]
                        * w[keep][..., None]).sum(axis=1)
                 rgbp = (o["rgb_on_rays"][keep]
                         * w[keep][..., None]).sum(axis=1)
-                w_.append_cnl_3d(xyz, rgbp, obj_name=f"{step}-cnl")
+                if cfg.test.save_3d:
+                    w_.append_cnl_3d(xyz, rgbp, obj_name=f"{step}-cnl")
+                if cfg.test.save_3d_together and not multi:
+                    # one pickle of all frames' canonical points
+                    # (reference run.py:388-424 'name-2-3d' dump)
+                    save_together[name] = np.concatenate(
+                        [xyz, rgbp, wmax[keep, None]], axis=-1)
 
+    if save_together:
+        writer.save_pkl(save_together, "name-2-3d")
     writer.finalize()
     if head_writers:
         for w_ in head_writers:

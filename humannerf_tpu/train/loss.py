@@ -43,6 +43,32 @@ def image_losses(patch_imgs: jnp.ndarray, targets: jnp.ndarray,
     return losses
 
 
+def ssim_jax(pred: jnp.ndarray, target: jnp.ndarray, win_size: int = 7,
+             data_range: float = 2.0) -> jnp.ndarray:
+    """Batched SSIM over (B, H, W, C) images, skimage-default configuration
+    (uniform window, unbiased covariance, border crop). data_range=2.0
+    matches the reference's implicit skimage float convention -- see
+    utils/metrics.compute_ssim."""
+    K1, K2 = 0.01, 0.03
+    C1, C2 = (K1 * data_range) ** 2, (K2 * data_range) ** 2
+    ns = win_size ** 2
+    cov_norm = ns / (ns - 1.0)
+
+    def uf(x):  # uniform filter over H, W (VALID: implicit border crop)
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, win_size, win_size, 1),
+            (1, 1, 1, 1), "VALID") / ns
+
+    ux, uy = uf(pred), uf(target)
+    uxx, uyy, uxy = uf(pred * pred), uf(target * target), uf(pred * target)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    A1, A2 = 2 * ux * uy + C1, 2 * vxy + C2
+    B1, B2 = ux ** 2 + uy ** 2 + C1, vx + vy + C2
+    return jnp.mean((A1 * A2) / (B1 * B2), axis=(1, 2, 3))
+
+
 def total_loss(losses: dict, lossweights: dict):
     """Weighted sum over cfg.train.lossweights with weight > 0."""
     total = 0.0
@@ -66,8 +92,6 @@ def argmin_multihead_loss(rgb_heads: jnp.ndarray, patch_ray_idx, bgcolor01,
     loss_names = [k for k, w in lossweights.items() if w > 0]
     sel_w = {k: float(v) for k, v in argmin_cfg.selector_criteria.items()
              if float(v) != 0.0}
-    assert "ssim" not in sel_w or sel_w["ssim"] == 0.0, \
-        "ssim selector criterion not supported yet"
     unsel_w = {k: float(v)
                for k, v in argmin_cfg.unselected_lossweights.items()}
 
@@ -80,6 +104,9 @@ def argmin_multihead_loss(rgb_heads: jnp.ndarray, patch_ray_idx, bgcolor01,
                               lpips_layers)
         per_head_losses.append(losses)
         crit = sum(w * losses[k] for k, w in sel_w.items() if k in losses)
+        if sel_w.get("ssim", 0.0) != 0.0:
+            # higher ssim is better -> negative weight (trainer.py:141-145)
+            crit = crit - sel_w["ssim"] * jnp.mean(ssim_jax(patch, targets))
         criteria.append(jax.lax.stop_gradient(crit))
 
     criteria = jnp.stack(criteria)                        # (K,)

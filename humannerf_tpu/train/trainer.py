@@ -144,10 +144,12 @@ class Trainer:
             head_mode = "single"
         argmin_cfg = cfg.multihead.argmin_cfg
 
+        frames_per_step = int(cfg.train.frames_per_step)
+
         def loss_fn(params, batch, rng, iter_val):
             frame, rays = split_batch(batch)
             out = net.render_rays(params, frame, rays, iter_val, rng,
-                                  perturb=perturb, remat=True,
+                                  perturb=perturb, remat=bool(cfg.train.get('remat', True)),
                                   head_id=batch.get("head_id", 0),
                                   head_mode=head_mode)
             if head_mode == "all":
@@ -161,10 +163,23 @@ class Trainer:
                                   loss_names, lpips_params, lpips_layers)
             return total_loss(losses, lossweights)
 
+        def batched_loss_fn(params, batch, rng, iter_val):
+            """Mean loss over a leading frame axis (true data parallelism:
+            cfg.train.frames_per_step frames per step, sharded over the
+            mesh; the reference is pinned at 1 image/step,
+            default.yaml:263)."""
+            if frames_per_step == 1:
+                return loss_fn(params, batch, rng, iter_val)
+            rngs = jax.random.split(rng, frames_per_step)
+            losses, loss_dicts = jax.vmap(
+                loss_fn, in_axes=(None, 0, 0, None))(params, batch, rngs,
+                                                     iter_val)
+            return jnp.mean(losses), jax.tree.map(jnp.mean, loss_dicts)
+
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, rng, iter_val):
             (loss, loss_dict), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch, rng, iter_val)
+                batched_loss_fn, has_aux=True)(params, batch, rng, iter_val)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             return params, opt_state, loss, loss_dict
@@ -188,14 +203,22 @@ class Trainer:
         timer = StepTimer()
         profiler = Profiler()
         exp_log = ExperimentLogger(cfg.logdir, name=cfg.experiment)
-        for batch in loader.endless():
-            if self.iter > maxiter:
-                break
+        fps = int(cfg.train.frames_per_step)
+        stream = loader.endless()
+
+        def next_batch():
+            if fps == 1:
+                item = next(stream)
+                return mesh_lib.put_batch(
+                    {k: v for k, v in item.items()
+                     if k not in ("frame_name", "num_valid_rays")}, self.mesh)
+            items = [next(stream) for _ in range(fps)]
+            return mesh_lib.put_frame_batch(
+                mesh_lib.collate_frames(items), self.mesh)
+
+        while self.iter <= maxiter:
+            device_batch = next_batch()
             step_key, self.rng = jax.random.split(self.rng)
-            device_batch = mesh_lib.put_batch(
-                {k: v for k, v in batch.items()
-                 if k not in ("frame_name", "num_valid_rays")},
-                self.mesh)
             with profiler.trace(f"iter_{self.iter}"):
                 self.params, self.opt_state, loss, loss_dict = \
                     self._train_step(

@@ -53,3 +53,16 @@ def test_metrics_writer(tmp_path):
     assert set(avg) == {"psnr", "ssim"}
     text = (tmp_path / "exp-metrics.perimg.txt").read_text()
     assert "f0" in text and "f1" in text
+
+
+def test_ssim_jax_matches_numpy_impl():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from humannerf_tpu.train.loss import ssim_jax
+    rng = np.random.RandomState(5)
+    a = rng.rand(2, 24, 24, 3).astype(np.float32)
+    b = np.clip(a + rng.randn(2, 24, 24, 3) * 0.1, 0, 1).astype(np.float32)
+    got = np.asarray(ssim_jax(a, b))
+    for i in range(2):
+        want = compute_ssim(a[i], b[i])
+        np.testing.assert_allclose(got[i], want, atol=1e-5)

@@ -16,7 +16,7 @@ from test_network import make_rays, make_synthetic_frame
 def mh_cfg(head_depth=1, split="view"):
     return make_cfg(opts=[
         "N_samples", "8", "mweight_volume.volume_size", "16",
-        "mweight_volume.embedding_size", "16",
+        "mweight_volume.embedding_size", "16", "warp.grid_size", "16",
         "canonical_mlp.mlp_width", "32", "canonical_mlp.mlp_depth", "4",
         "non_rigid_motion_mlp.mlp_width", "16",
         "non_rigid_motion_mlp.mlp_depth", "3",

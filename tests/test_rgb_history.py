@@ -50,7 +50,7 @@ def test_network_with_rgb_history():
     from humannerf_tpu.models.network import HumanNeRF
     cfg = make_cfg(opts=[
         "N_samples", "4", "mweight_volume.volume_size", "16",
-        "mweight_volume.embedding_size", "16",
+        "mweight_volume.embedding_size", "16", "warp.grid_size", "16",
         "canonical_mlp.mlp_width", "32", "canonical_mlp.mlp_depth", "4",
         "non_rigid_motion_mlp.mlp_width", "16",
         "non_rigid_motion_mlp.mlp_depth", "3",

@@ -18,6 +18,7 @@ from synthetic_data import write_synthetic_dataset
 def small_cfg(tmp_path, **extra):
     opts = [
         "N_samples", "8", "patch.size", "8", "patch.N_patches", "2",
+        "warp.grid_size", "16",
         "mweight_volume.volume_size", "16", "mweight_volume.embedding_size", "16",
         "canonical_mlp.mlp_width", "32", "canonical_mlp.mlp_depth", "4",
         "non_rigid_motion_mlp.mlp_width", "16", "non_rigid_motion_mlp.mlp_depth", "3",
@@ -87,7 +88,10 @@ def test_loss_decreases_and_checkpoint_roundtrip(tmp_path, data_path):
 
     cfg = small_cfg(tmp_path)
     cfg.train.dataset = data_path
-    trainer = Trainer(cfg, log=lambda *a: None)
+    # 1-device mesh: 8 virtual devices on this 1-core host trip XLA:CPU's
+    # hardcoded 40s collective-rendezvous abort over a 30-step run
+    from humannerf_tpu.parallel import mesh as mesh_lib
+    trainer = Trainer(cfg, mesh=mesh_lib.make_mesh(1), log=lambda *a: None)
     ds = Dataset(cfg, data_path, keyfilter=cfg.train_keyfilter,
                  ray_shoot_mode="patch", bgcolor=[0, 0, 0], seed=0)
     loader = Loader(ds, shuffle=True, seed=0, prefetch=0)
@@ -118,5 +122,5 @@ def test_loss_decreases_and_checkpoint_roundtrip(tmp_path, data_path):
     cfg2 = small_cfg(tmp_path)
     cfg2.logdir = cfg.logdir
     cfg2.train.dataset = data_path
-    trainer2 = Trainer(cfg2, log=lambda *a: None)
+    trainer2 = Trainer(cfg2, mesh=mesh_lib.make_mesh(1), log=lambda *a: None)
     assert trainer2.iter == payload["iter"] + 1

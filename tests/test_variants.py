@@ -180,7 +180,7 @@ def test_network_with_variant_models():
                               ("TStransformer_encoder", (2, 23, 3))):
         opts = [
             "N_samples", "4", "mweight_volume.volume_size", "16",
-            "mweight_volume.embedding_size", "16",
+            "mweight_volume.embedding_size", "16", "warp.grid_size", "16",
             "canonical_mlp.mlp_width", "32", "canonical_mlp.mlp_depth", "4",
             "non_rigid_motion_model", f"'{model}'",
             "non_rigid_motion_mlp_sa.mlp_width", "16",
@@ -213,7 +213,7 @@ def test_network_time_and_vocab_inputs():
     from test_network import make_rays, make_synthetic_frame
     cfg = make_cfg(opts=[
         "N_samples", "4", "mweight_volume.volume_size", "16",
-        "mweight_volume.embedding_size", "16",
+        "mweight_volume.embedding_size", "16", "warp.grid_size", "16",
         "canonical_mlp.mlp_width", "32", "canonical_mlp.mlp_depth", "4",
         "non_rigid_motion_mlp.mlp_width", "16",
         "non_rigid_motion_mlp.mlp_depth", "3",
@@ -234,3 +234,27 @@ def test_network_time_and_vocab_inputs():
     frame["dir_idx"] = jnp.asarray(1, jnp.int32)
     out = net.render_rays(params, frame, make_rays(8), iter_val=1e7)
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_input_encoder_paths():
+    from humannerf_tpu.models.input_encoder import (apply_input_encoder,
+                                                    init_input_encoder,
+                                                    input_encoder_output_dim)
+    from humannerf_tpu.config import make_cfg
+    cfg = make_cfg()
+    base = {k: v for k, v in cfg.canonical_mlp.input_encoder.items()
+            if k != "enable"}
+    rng = np.random.RandomState(0)
+    pos = jnp.asarray(rng.randn(10, 63).astype(np.float32))
+    cond = jnp.asarray(rng.randn(8, 23, 3).astype(np.float32))
+    w = jnp.asarray(rng.rand(10, 24).astype(np.float32))
+    for temporal in ("selfattention", "mlp", "empty"):
+        for spatial in ("mlp", "empty"):
+            kw = dict(base)
+            kw["temporal_enc_method"] = temporal
+            kw["spatial_enc_method"] = spatial
+            p = init_input_encoder(jax.random.key(0), input_ch=63,
+                                   condition_code_dim=3, **kw)
+            out = apply_input_encoder(p, pos, cond, w)
+            assert out.shape == (10, input_encoder_output_dim(p))
+            assert np.isfinite(np.asarray(out)).all()
