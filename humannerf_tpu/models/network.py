@@ -29,7 +29,9 @@ from humannerf_tpu.models.embedders import (fourier_embed, fourier_embed_dim,
                                             hann_alpha, hannw_fourier_embed)
 from humannerf_tpu.models.motion import motion_basis
 from humannerf_tpu.ops.fused_warp import (build_fused_volume,
-                                          sample_fused_volume)
+                                          build_packed_volume,
+                                          sample_fused_volume,
+                                          sample_packed_volume)
 from humannerf_tpu.ops.raymarch import (raw2outputs, sample_along_rays,
                                         stratified_sampling)
 from humannerf_tpu.ops.trilinear import sample_motion_weights
@@ -369,11 +371,15 @@ class HumanNeRF:
             need_bw = (cfg.warp.include_bone_weights
                        or cfg.condition_code.type != "global"
                        or cfg.rgb_history.last_num > 0)
-            ctx["fused_volume"] = build_fused_volume(
+            U = build_fused_volume(
                 mweights[:-1], scale_Rs, Ts,
                 frame["cnl_bbox_min_xyz"], frame["cnl_bbox_scale_xyz"],
                 obs_min, obs_max, cfg.warp.grid_size,
                 include_bone_weights=need_bw, dtype=self.compute_dtype)
+            if cfg.warp.get("packed", True):
+                ctx["packed_volume"] = build_packed_volume(U)
+            else:
+                ctx["fused_volume"] = U
             ctx["obs_min"] = obs_min
             ctx["obs_max"] = obs_max
         else:
@@ -559,9 +565,15 @@ class HumanNeRF:
                                        axis=1).reshape(R * S, -1)
 
         pts_flat = pts.reshape(-1, 3)
-        if "fused_volume" in ctx:
-            x_skel, fg, bw_weights = sample_fused_volume(
-                ctx["fused_volume"], pts_flat, ctx["obs_min"], ctx["obs_max"])
+        if "packed_volume" in ctx or "fused_volume" in ctx:
+            if "packed_volume" in ctx:
+                x_skel, fg, bw_weights = sample_packed_volume(
+                    ctx["packed_volume"], pts_flat, ctx["obs_min"],
+                    ctx["obs_max"])
+            else:
+                x_skel, fg, bw_weights = sample_fused_volume(
+                    ctx["fused_volume"], pts_flat, ctx["obs_min"],
+                    ctx["obs_max"])
             if bw_weights is None:
                 bw_weights = jnp.zeros(
                     (pts_flat.shape[0], self.total_bones), pts.dtype)

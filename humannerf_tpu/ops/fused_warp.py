@@ -127,6 +127,72 @@ def build_fused_volume(motion_weights: jnp.ndarray,
     return U.reshape(G, G, G, -1)
 
 
+def build_packed_volume(U: jnp.ndarray) -> jnp.ndarray:
+    """Pack each voxel's 8 trilinear corners into its own row.
+
+    U (G, G, G, C) -> (G, G, G, 8*C) where channels [k*C:(k+1)*C] hold the
+    (dz, dy, dx) = bits-of-k corner neighbor (edge-replicated). One sample
+    lookup then needs exactly ONE row gather -- on TPU, where gathers are
+    latency-bound, this is ~6x faster than 8 separate corner gathers
+    (C=16 packs to 128 channels: a full TPU lane row). Memory cost: 8x the
+    fused volume (~56 MB at G=48), paid once per frame.
+    """
+    parts = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                s = U
+                if dz:
+                    s = jnp.concatenate([s[1:], s[-1:]], 0)
+                if dy:
+                    s = jnp.concatenate([s[:, 1:], s[:, -1:]], 1)
+                if dx:
+                    s = jnp.concatenate([s[:, :, 1:], s[:, :, -1:]], 2)
+                parts.append(s)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def sample_packed_volume(U8: jnp.ndarray, pts: jnp.ndarray, obs_min, obs_max):
+    """Single-gather trilerp of a packed volume -> (x_skel, fg, bone_w|None).
+
+    Numerically identical to `sample_fused_volume` for in-range points
+    (tests/test_fused_warp.py); out-of-range points get fg = 0 wholesale
+    (they composite to background either way).
+    """
+    G = U8.shape[0]
+    C8 = U8.shape[-1]
+    C = C8 // 8
+    rows = U8.reshape(G * G * G, C8)
+    scale = (G - 1) / (obs_max - obs_min)
+    f = (pts - obs_min) * scale
+
+    def axis(fr):
+        i0 = jnp.clip(jnp.floor(fr), 0, G - 2)
+        return (i0.astype(jnp.int32), fr - i0,
+                (fr >= 0) & (fr <= G - 1))
+
+    x0, wx, vx = axis(f[:, 0])
+    y0, wy, vy = axis(f[:, 1])
+    z0, wz, vz = axis(f[:, 2])
+    flat = (z0 * G + y0) * G + x0
+    g = rows[flat].reshape(-1, 8, C)                       # one gather
+    w8 = jnp.stack([
+        (1 - wz) * (1 - wy) * (1 - wx), (1 - wz) * (1 - wy) * wx,
+        (1 - wz) * wy * (1 - wx),       (1 - wz) * wy * wx,
+        wz * (1 - wy) * (1 - wx),       wz * (1 - wy) * wx,
+        wz * wy * (1 - wx),             wz * wy * wx], axis=1)
+    acc = jnp.einsum("nkc,nk->nc", g.astype(jnp.float32), w8, precision=_HI)
+    acc = jnp.where((vx & vy & vz)[:, None], acc, 0.0)
+
+    B = acc[:, :9].reshape(-1, 3, 3)
+    c = acc[:, 9:12]
+    S = acc[:, 12:13]
+    x_skel = (jnp.einsum("nij,nj->ni", B, pts, precision=_HI) + c) \
+        / jnp.clip(S, 1e-4)
+    bone_w = acc[:, 16:] if C > 16 else None
+    return x_skel, S, bone_w
+
+
 def sample_fused_volume(U: jnp.ndarray, pts: jnp.ndarray, obs_min, obs_max):
     """One multi-channel trilerp per point -> (x_skel, fg, bone_weights|None).
 

@@ -131,3 +131,31 @@ def test_fused_volume_differentiable():
     g = jax.grad(loss)(vol)
     g = np.asarray(g)
     assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
+def test_packed_matches_fused():
+    from humannerf_tpu.ops.fused_warp import (build_packed_volume,
+                                              sample_packed_volume)
+    rng = np.random.RandomState(7)
+    K, S = 8, 16
+    vol = _smooth_volume(rng, K, S)
+    Rs, Ts = _random_rigid(rng, K)
+    cnl_min = np.full(3, -1.0, np.float32)
+    cnl_scale = np.full(3, 1.0, np.float32)
+    obs_min, obs_max = np.full(3, -0.8, np.float32), np.full(3, 0.8, np.float32)
+    U = build_fused_volume(jnp.asarray(vol), jnp.asarray(Rs), jnp.asarray(Ts),
+                           cnl_min, cnl_scale, obs_min, obs_max,
+                           grid_size=24, dtype=jnp.float32)
+    U8 = build_packed_volume(U)
+    assert U8.shape == (24, 24, 24, 128)
+    pts = rng.uniform(-0.7, 0.7, (300, 3)).astype(np.float32)
+    x_a, fg_a, _ = sample_fused_volume(U, pts, obs_min, obs_max)
+    x_b, fg_b, _ = sample_packed_volume(U8, pts, obs_min, obs_max)
+    np.testing.assert_allclose(np.asarray(fg_b), np.asarray(fg_a), atol=1e-5)
+    mask = np.asarray(fg_a)[:, 0] > 0.1   # x_skel only meaningful on-body
+    np.testing.assert_allclose(np.asarray(x_b)[mask], np.asarray(x_a)[mask],
+                               atol=1e-4)
+    # fully outside the grid -> fg exactly 0
+    far_pts = np.full((4, 3), 5.0, np.float32)
+    _, fg_o, _ = sample_packed_volume(U8, far_pts, obs_min, obs_max)
+    np.testing.assert_allclose(np.asarray(fg_o), 0.0)
