@@ -356,6 +356,7 @@ def default_config() -> CN:
         #   fused: per-frame fused observation-space volume (fast, mild
         #          double-interpolation smoothing)
         #   exact: reference-parity per-bone trilerp (slow XLA gathers)
+        "pallas": {"composite": False},  # opt-in Pallas compositing kernel
         "warp": {"mode": "fused", "grid_size": 48, "packed": True,
                  "include_bone_weights": False, "bbox_margin": 0.05},
     })

@@ -614,6 +614,17 @@ class HumanNeRF:
                                                  ).transpose(2, 0, 1, 3)
             return out
 
+        use_pallas = (cfg.get_path("pallas.composite", False)
+                      and not full_outputs and R % 1024 == 0
+                      and jax.default_backend() == "tpu")
+        if use_pallas:
+            # Pallas-fused integration (ops/pallas_composite.py); the
+            # full-outputs path needs per-sample weights, so it stays on jnp
+            from humannerf_tpu.ops.pallas_composite import composite_pallas
+            return composite_pallas(raw.reshape(R, S, -1),
+                                    fg.reshape(R, S, 1), z_vals, rays_d,
+                                    ctx["bgcolor"],
+                                    block=min(1024, R))
         out = raw2outputs(
             raw.reshape(R, S, -1), fg.reshape(R, S, 1), z_vals, rays_d,
             ctx["bgcolor"], xyz=xyz.reshape(R, S, 3) if full_outputs else None)
