@@ -41,7 +41,10 @@ def run(cfg, run_type: str):
         # canonical rendering skips the non-rigid field (run.py:167-172)
         cfg.ignore_non_rigid_motions = True
     net, params = load_network(cfg)
-    renderer = EvalRenderer(net, chunk=min(cfg.chunk, 8192))
+    from humannerf_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh()
+    renderer = EvalRenderer(net, chunk=min(cfg.chunk, 8192),
+                            mesh=mesh if mesh.devices.size > 1 else None)
     dataset = create_dataset(cfg, run_type)
     loader = Loader(dataset, shuffle=False, prefetch=2)
 

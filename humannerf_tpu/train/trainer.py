@@ -55,9 +55,10 @@ class EvalRenderer:
     the number of distinct padded sizes per sequence.
     """
 
-    def __init__(self, net: HumanNeRF, chunk: int = 8192):
+    def __init__(self, net: HumanNeRF, chunk: int = 8192, mesh=None):
         self.net = net
         self.chunk = chunk
+        self.mesh = mesh          # optional: shard eval rays over the mesh
         self._jitted = {}
 
     def _fn(self, n_padded: int, full_outputs: bool, head_mode: str):
@@ -84,7 +85,11 @@ class EvalRenderer:
         for k in RAY_KEYS:
             v = item[k]
             pad = np.zeros((n_pad - n,) + v.shape[1:], v.dtype)
-            rays[k] = jnp.asarray(np.concatenate([v, pad], axis=0))
+            rays[k] = np.concatenate([v, pad], axis=0)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            rays = mesh_lib.put_batch(rays, self.mesh)  # ray-dim sharded
+        else:
+            rays = {k: jnp.asarray(v) for k, v in rays.items()}
         frame = {k: jnp.asarray(item[k]) for k in FRAME_KEYS if k in item}
         out = self._fn(n_pad, full_outputs, head_mode)(
             params, frame, rays, jnp.asarray(float(iter_val)),
@@ -125,7 +130,8 @@ class Trainer:
         self.start_iter = self.iter
 
         self._train_step = self._build_train_step()
-        self.renderer = EvalRenderer(self.net, chunk=min(cfg.chunk, 8192))
+        self.renderer = EvalRenderer(self.net, chunk=min(cfg.chunk, 8192),
+                                     mesh=self.mesh)
 
     # -- jitted step -----------------------------------------------------------
 

@@ -68,3 +68,23 @@ def test_sharded_render_matches_single_device():
     sharded_rays = mesh_lib.put_batch(rays_np, mesh)
     sharded = np.asarray(jax.jit(render)(params, frame, sharded_rays))
     np.testing.assert_allclose(single, sharded, atol=1e-5)
+
+
+def test_eval_renderer_sharded_matches_single():
+    """EvalRenderer with a mesh shards eval rays and matches 1-device output."""
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from humannerf_tpu.models.network import HumanNeRF
+    from humannerf_tpu.train.trainer import EvalRenderer
+
+    cfg = g._small_cfg(**g._tiny_train_overrides())
+    net = HumanNeRF(cfg)
+    params = net.init_params(jax.random.key(0))
+    frame, rays = g._synthetic_inputs(cfg, n_rays=100)  # odd count -> padding
+    item = {k: np.asarray(v) for k, v in {**frame, **rays}.items()}
+
+    single = EvalRenderer(net, chunk=64)
+    multi = EvalRenderer(net, chunk=64, mesh=mesh_lib.make_mesh(8))
+    a = single.render_frame(params, item, 1e7)
+    b = multi.render_frame(params, item, 1e7)
+    np.testing.assert_allclose(a["rgb"], b["rgb"], atol=1e-5)
