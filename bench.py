@@ -18,7 +18,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rays", type=int, default=32768)
+    ap.add_argument("--rays", type=int, default=65536)
     ap.add_argument("--samples", type=int, default=128)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
@@ -43,19 +43,21 @@ def main():
 
     @jax.jit
     def render(params, frame, rays):
-        return net.render_rays(params, frame, rays, jnp.asarray(1e7))["rgb"]
+        # returns a scalar: forces the full render while keeping the
+        # host sync transfer at 4 bytes (the dev-tunnel transfers at
+        # ~6 MB/s, which would otherwise dominate the measurement)
+        return net.render_rays(params, frame, rays, jnp.asarray(1e7))["rgb"].sum()
 
     # NOTE: on the experimental axon platform block_until_ready returns
-    # before execution completes; a host fetch (np.asarray) is the only
-    # honest sync, so each timed iteration fetches the (tiny) rgb output.
-    np.asarray(render(params, frame, rays))
+    # before execution completes; a host fetch is the only honest sync.
+    float(render(params, frame, rays))
     for _ in range(args.warmup):
-        np.asarray(render(params, frame, rays))
+        float(render(params, frame, rays))
 
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        np.asarray(render(params, frame, rays))
+        float(render(params, frame, rays))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
