@@ -109,6 +109,9 @@ def apply_input_encoder(params, pos_embed, condition_code, weights,
     """pos_embed (N, E); condition_code (T, 23, Dp); weights (N, 24)
     -> (N, E + S) fused canonical-MLP input (input_encoder.py:104-123)."""
     meta = params["meta"]
+    if meta.get("version") == "v2":
+        return _apply_input_encoder_v2(params, pos_embed, condition_code,
+                                       weights, gate_weight, dtype)
     cc = jnp.swapaxes(condition_code, 0, 1)               # (23, T, Dp)
     if meta["temporal"] == "selfattention":
         tcode = apply_selfattention(params["temporal"], cc, dtype)  # (23, D)
@@ -128,3 +131,36 @@ def apply_input_encoder(params, pos_embed, condition_code, weights,
     # tmlp: temporal fuse over per-step spatial codes
     scode = scode.reshape(-1, meta["seq_len"], scode.shape[-1])
     return apply_mlpseq(params["fuse"], scode, dtype)
+
+
+def _apply_input_encoder_v2(params, pos_embed, condition_code, weights,
+                            gate_weight, dtype):
+    """v2: spatial codes computed once PER PART via the PART2JOINTS mask
+    (25 codes incl. a zero background row), each sample indexing its
+    argmax-bone part code (input_encoder_v2.py:15-43,104-126). The
+    whole-table precompute + tiny 25-row gather replaces v1's per-sample
+    localization."""
+    meta = params["meta"]
+    cc = jnp.swapaxes(condition_code, 0, 1)               # (23, T, Dp)
+    if meta["temporal"] == "selfattention":
+        tcode = apply_selfattention(params["temporal"], cc, dtype)  # (23, D)
+    elif meta["temporal"] == "mlp":
+        tcode = apply_mlpseq(params["temporal"], cc, dtype)
+    else:
+        tcode = cc.reshape(N_JOINT, -1)
+
+    table = jnp.asarray(PART2JOINTS[:, 1:])               # (24, 23)
+    per_part = table[:, :, None] * tcode[None]            # (24, 23, D)
+    per_part = jnp.concatenate(
+        [per_part, jnp.zeros_like(per_part[:1])], axis=0)  # +bg row -> 25
+
+    if meta["spatial"] == "mlp":
+        scode = apply_mlpseq(params["spatial"], per_part, dtype)  # (25, S)
+    else:
+        scode = per_part.reshape(25, -1)
+
+    ws = jax.lax.stop_gradient(weights)
+    fg = jnp.max(ws, axis=1) > meta["localize"].get("fg_threshold", 0.2)
+    idx = jnp.where(fg, jnp.argmax(ws, axis=1), 24)       # bg -> zero row
+    sample_code = scode[idx]                              # (N, S)
+    return jnp.concatenate([pos_embed, sample_code * gate_weight], axis=-1)

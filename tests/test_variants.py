@@ -258,3 +258,28 @@ def test_input_encoder_paths():
             out = apply_input_encoder(p, pos, cond, w)
             assert out.shape == (10, input_encoder_output_dim(p))
             assert np.isfinite(np.asarray(out)).all()
+
+
+def test_input_encoder_v2_part_indexing():
+    from humannerf_tpu.models.input_encoder import (apply_input_encoder,
+                                                    init_input_encoder)
+    from humannerf_tpu.config import make_cfg
+    cfg = make_cfg()
+    kw = {k: v for k, v in cfg.canonical_mlp.input_encoder.items()
+          if k != "enable"}
+    kw["version"] = "v2"
+    p = init_input_encoder(jax.random.key(0), input_ch=63,
+                           condition_code_dim=3, **kw)
+    rng = np.random.RandomState(0)
+    pos = jnp.asarray(rng.randn(10, 63).astype(np.float32))
+    cond = jnp.asarray(rng.randn(8, 23, 3).astype(np.float32))
+    # samples 0..4 strongly on bone 3, samples 5..9 background
+    w = np.zeros((10, 24), np.float32)
+    w[:5, 3] = 0.9
+    out = np.asarray(apply_input_encoder(p, pos, cond, jnp.asarray(w)))
+    assert out.shape[0] == 10 and np.isfinite(out).all()
+    code = out[:, 63:]
+    # same part -> identical codes; background -> zero code
+    np.testing.assert_allclose(code[0], code[4], atol=1e-6)
+    np.testing.assert_allclose(code[5:], 0.0, atol=1e-6)
+    assert np.abs(code[0]).max() > 0
