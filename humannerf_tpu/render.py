@@ -50,16 +50,6 @@ def run(cfg, run_type: str):
 
     out_dir = os.path.join(cfg.logdir, cfg.load_net + cfg.eval_output_tag)
     writer = ImageWriter(out_dir, run_type)
-    metrics = None
-    if run_type in _EVAL_TYPES and "lpips" in cfg.eval.metrics:
-        lpips_fn = make_lpips_metric_fn(init_lpips_params(cfg.lpips.weights))
-        metrics = MetricsWriter(out_dir, run_type,
-                                dataset=cfg[run_type].get("dataset", "?"),
-                                metrics=cfg.eval.metrics, lpips_fn=lpips_fn)
-    elif run_type in _EVAL_TYPES:
-        metrics = MetricsWriter(out_dir, run_type,
-                                dataset=cfg[run_type].get("dataset", "?"),
-                                metrics=cfg.eval.metrics)
 
     # multihead eval: head_id -1 renders every head (run.py:75-82)
     multi = cfg.multihead.head_num > 1 and cfg.test.head_id == -1
@@ -69,6 +59,26 @@ def run(cfg, run_type: str):
     if multi:
         head_writers = [ImageWriter(out_dir + f"_h{h}", run_type)
                         for h in range(cfg.multihead.head_num)]
+
+    def _make_metrics(d):
+        kw = {}
+        if "lpips" in cfg.eval.metrics:
+            kw["lpips_fn"] = make_lpips_metric_fn(
+                init_lpips_params(cfg.lpips.weights))
+        return MetricsWriter(d, run_type,
+                             dataset=cfg[run_type].get("dataset", "?"),
+                             metrics=cfg.eval.metrics, **kw)
+
+    # metric writers: one per head in multihead eval (the reference evaluates
+    # each rendered head, run.py:235-238), else a single writer
+    metrics = None
+    head_metrics = None
+    if run_type in _EVAL_TYPES:
+        if multi:
+            head_metrics = [_make_metrics(out_dir + f"_h{h}")
+                            for h in range(cfg.multihead.head_num)]
+        else:
+            metrics = _make_metrics(out_dir)
 
     bg = np.array(cfg.bgcolor, np.float32) / 255.0
     save_together = {}
@@ -98,9 +108,10 @@ def run(cfg, run_type: str):
             w_ = head_writers[h] if multi else writer
             w_.append(np.concatenate(imgs, axis=1), img_name=f"{step:06d}")
 
-            if metrics is not None and truth_img is not None and not multi:
-                metrics.append(name if name not in metrics.per_image
-                               else f"{name}_{step}", rgb_img, truth_img)
+            m_ = head_metrics[h] if multi and head_metrics else metrics
+            if m_ is not None and truth_img is not None:
+                m_.append(name if name not in m_.per_image
+                          else f"{name}_{step}", rgb_img, truth_img)
 
             if cfg.test.save_3d or cfg.test.save_3d_together:
                 w = o["weights_on_rays"]                   # (R, S)
@@ -113,10 +124,19 @@ def run(cfg, run_type: str):
                 if cfg.test.save_3d:
                     w_.append_cnl_3d(xyz, rgbp, obj_name=f"{step}-cnl")
                 if cfg.test.save_3d_together and not multi:
-                    # one pickle of all frames' canonical points
-                    # (reference run.py:388-424 'name-2-3d' dump)
+                    # one pickle of all frames' canonical points in the
+                    # reference's (N, 10) layout [xyz, rgb, wmax, row, col,
+                    # lbs_argmax] (run.py:388-404) consumed by the
+                    # segment / distance / warp-img analysis subcommands
+                    rgb_gt = truth[keep] \
+                        if truth is not None and truth.ndim == 2 else rgbp
+                    pos = np.argwhere(
+                        np.asarray(item["ray_mask"]).reshape(H, W))[keep]
+                    lbs = (w[..., None] * o["backward_motion_weights"]
+                           ).sum(axis=1).argmax(axis=1)[keep]
                     save_together[name] = np.concatenate(
-                        [xyz, rgbp, wmax[keep, None]], axis=-1)
+                        [xyz, rgb_gt, wmax[keep, None],
+                         pos.astype(np.float32), lbs[:, None]], axis=-1)
 
     if save_together:
         writer.save_pkl(save_together, "name-2-3d")
@@ -124,6 +144,14 @@ def run(cfg, run_type: str):
     if head_writers:
         for w_ in head_writers:
             w_.finalize()
+    if head_metrics is not None:
+        avgs = {}
+        for h, m_ in enumerate(head_metrics):
+            avg = m_.finalize()
+            print(f"metrics[h{h}]:",
+                  {k: round(v, 4) for k, v in avg.items()})
+            avgs[f"h{h}"] = avg
+        return avgs
     if metrics is not None:
         avg = metrics.finalize()
         print("metrics:", {k: round(v, 4) for k, v in avg.items()})

@@ -8,12 +8,30 @@ Covers (reference file -> subcommand):
                                              `niqe-fit` to fit your own)
   tools/make_video.py       -> make-video    image dir -> mp4
   make_video.py             -> (same)
-  tools/compute_distance*.py-> pairwise-distance  canonical point-cloud
+  tools/compute_distance.py -> pairwise-distance  canonical point-cloud
                                              appearance distance matrix
+  tools/compute_distance_seg.py / _3.py -> pairwise-distance with
+                                             --chunk-id/--chunk-n strided row
+                                             sharding (run on a `segment`
+                                             dump for the _seg variant; nested
+                                             sharding = shard a sharded run's
+                                             row list again) + distance-merge
+  tools/compute_distance_single_pair.py -> distance-pair  one pair with an
+                                             error-map .obj export
+  tools/segment.py          -> segment       split a name-2-3d dump into
+                                             per-body-part dumps (argmax-LBS
+                                             parts + 10px dilation)
+  warp_img.py               -> warp-img      cross-frame appearance warp
+                                             comparison strips
   tools/cluster.py          -> cluster       greedy max-min clustering of a
                                              distance matrix
   compare_lbs_delta.py      -> compare-lbs   side-by-side LBS-only vs full
                                              renders with per-image PSNR
+
+The canonical point dumps are the (N, 10) `name-2-3d` pickles written by
+run.py with test.save_3d_together=True: columns [xyz(3), rgb(3), weight(1),
+row, col, lbs_argmax] (reference run.py:388-404). The base 7-column layout
+(no image positions) is accepted wherever positions aren't needed.
 
 Usage: python -m humannerf_tpu.tools.analysis <subcommand> [args]
 """
@@ -179,43 +197,230 @@ def make_video(image_dir: str, out_path: str, fps: int = 10):
 
 # -- canonical point-cloud distances / clustering ----------------------------------
 
-def frame_distance(a: np.ndarray, b: np.ndarray, dist_thresh: float = 0.002,
-                   weight_threshold: float = 0.3) -> float:
-    """Appearance distance between two frames' canonical dumps
-    (tools/compute_distance.py:7-42): mutual-nearest canonical points closer
-    than dist_thresh contribute their RGB error.
-
-    a, b: (N, 7) arrays [xyz, rgb, weight] as written by run.py save_3d.
-    """
-    ma, mb = a[:, 6] > weight_threshold, b[:, 6] > weight_threshold
-    xa, ra = a[ma, :3], a[ma, 3:6]
-    xb, rb = b[mb, :3], b[mb, 3:6]
-    if len(xa) == 0 or len(xb) == 0:
-        return 0.0
+def mutual_nearest_pairs(xa: np.ndarray, xb: np.ndarray):
+    """Mutual nearest-neighbor pairs between two point sets
+    (tools/compute_distance.py find_nearest_pair): returns (i0, i1, d01)
+    where d01[k] = |xa[i0[k]] - xb[i1[k]]|."""
     d = np.linalg.norm(xa[:, None] - xb[None], axis=-1)
     n0 = d.argmin(axis=1)
     n1 = d.argmin(axis=0)
     mutual = n1[n0] == np.arange(len(xa))
     i0 = np.where(mutual)[0]
     i1 = n0[i0]
-    close = d[i0, i1] < dist_thresh
+    return i0, i1, d[i0, i1]
+
+
+def _valid_split(a: np.ndarray, weight_threshold: float):
+    """Filter a dump by weight (column 6) -> (xyz, rgb, pos-or-None)."""
+    m = a[:, 6] > weight_threshold
+    pos = a[m, 7:9].astype(np.int64) if a.shape[1] >= 10 else None
+    return a[m, :3], a[m, 3:6], pos
+
+
+def frame_distance(a: np.ndarray, b: np.ndarray, dist_thresh: float = 0.002,
+                   weight_threshold: float = 0.3) -> float:
+    """Appearance distance between two frames' canonical dumps
+    (tools/compute_distance.py:7-42): mutual-nearest canonical points closer
+    than dist_thresh contribute their RGB error.
+
+    a, b: (N, 7) or (N, 10) arrays [xyz, rgb, weight, ...] (run.py save_3d).
+    """
+    xa, ra, _ = _valid_split(a, weight_threshold)
+    xb, rb, _ = _valid_split(b, weight_threshold)
+    if len(xa) == 0 or len(xb) == 0:
+        return 0.0
+    i0, i1, d01 = mutual_nearest_pairs(xa, xb)
+    close = d01 < dist_thresh
     return float(np.sum(np.linalg.norm(ra[i0[close]] - rb[i1[close]],
                                        axis=-1)))
 
 
-def pairwise_distance_matrix(dump_path: str, out_path: str, **kw):
+def pairwise_distance_matrix(dump_path: str, out_path: str,
+                             chunk_id: int = 0, chunk_n: int = 1, **kw):
+    """Full (or row-sharded) distance matrix.
+
+    chunk_id/chunk_n reproduce the reference's strided sharding
+    (compute_distance_seg.py:62-70): shard k owns rows k, k+n, k+2n, ...
+    (the last shard also takes the strided tail). Shards write D with zeros
+    elsewhere; sum the shard outputs with `distance-merge`.
+    """
     with open(dump_path, "rb") as f:
         name2info = pickle.load(f)
     names = sorted(name2info)
     n = len(names)
     D = np.zeros((n, n), np.float64)
-    for i in range(n):
+    rows = range(n) if chunk_n <= 1 else range(chunk_id, n, chunk_n)
+    for i in rows:
+        a = name2info[names[i]]
+        if a is None:
+            continue
         for j in range(i + 1, n):
+            b = name2info[names[j]]
+            if b is None:
+                continue
             D[i, j] = D[j, i] = frame_distance(
-                np.asarray(name2info[names[i]]),
-                np.asarray(name2info[names[j]]), **kw)
+                np.asarray(a), np.asarray(b), **kw)
     np.save(out_path, D)
     return names, D
+
+
+def merge_distance_shards(paths: list, out_path: str) -> np.ndarray:
+    """Sum row-sharded matrices into the full one (each pair is computed by
+    exactly one shard, so summation == union)."""
+    D = None
+    for p in paths:
+        part = np.load(p)
+        D = part if D is None else D + part
+    np.save(out_path, D)
+    return D
+
+
+def single_pair_distance(dump_path: str, name0: str, name1: str,
+                         obj_out: str | None = None,
+                         dist_thresh: float = 0.002,
+                         weight_threshold: float = 0.3) -> float:
+    """One-pair distance + optional error-map point cloud
+    (compute_distance_single_pair.py:24-62): mutual pairs closer than
+    dist_thresh written as a colored .obj, color = RGB-error heat."""
+    with open(dump_path, "rb") as f:
+        name2info = pickle.load(f)
+    a, b = np.asarray(name2info[name0]), np.asarray(name2info[name1])
+    xa, ra, _ = _valid_split(a, weight_threshold)
+    xb, rb, _ = _valid_split(b, weight_threshold)
+    i0, i1, d01 = mutual_nearest_pairs(xa, xb)
+    close = d01 < dist_thresh
+    errs = np.linalg.norm(ra[i0[close]] - rb[i1[close]], axis=-1)
+    if obj_out:
+        import cv2
+        heat = cv2.applyColorMap(
+            np.clip(errs[:, None] * 255, 0, 255).astype(np.uint8),
+            cv2.COLORMAP_JET)[:, 0, ::-1] / 255.0      # BGR -> RGB
+        os.makedirs(os.path.dirname(obj_out) or ".", exist_ok=True)
+        with open(obj_out, "w") as f:
+            for xyzs in (xa[i0[close]], xb[i1[close]]):
+                for xyz, rgb in zip(xyzs, heat):
+                    f.write(f"v {xyz[0]:.7f} {xyz[1]:.7f} {xyz[2]:.7f} "
+                            f"{rgb[0]:.7f} {rgb[1]:.7f} {rgb[2]:.7f}\n")
+    return float(errs.sum())
+
+
+# -- body-part segmentation of canonical dumps --------------------------------------
+
+# body-part -> SMPL joint ids (reference tools/segment.py:5-14; anatomy table)
+PART_CLUSTERS = {
+    "root": [0],
+    "lhip": [1], "rhip": [2],
+    "lknee": [4], "rknee": [5],
+    "lfoot": [7, 10], "rfoot": [8, 11],
+    "belly": [3], "spine": [6],
+    "chest-inshoulder-neck": [9, 12, 13, 14],
+    "head": [15],
+    "lshoulder-elbow": [16, 18], "rshoulder-elbow": [17, 19],
+    "lwrist-hand": [20, 22], "rwrist-hand": [21, 23],
+}
+
+
+def segment_dump(dump_path: str, out_dir: str, dilate_px: float = 10.0):
+    """Split a (N, 10) name-2-3d dump into per-body-part dumps.
+
+    Reference tools/segment.py:22-52: a point belongs to a part if its image
+    position is within `dilate_px` L1 pixels of any point whose argmax-LBS
+    joint is in the part (10px dilation smooths part borders). Frames with no
+    member points store None. Writes one pickle per part.
+    """
+    with open(dump_path, "rb") as f:
+        name2info = pickle.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    outs = {part: {} for part in PART_CLUSTERS}
+    for name, arr in name2info.items():
+        arr = np.asarray(arr)
+        assert arr.shape[1] >= 10, "segment needs the 10-column dump layout"
+        pos = arr[:, 7:9]
+        lbs = arr[:, 9].astype(np.int64)
+        for part, ids in PART_CLUSTERS.items():
+            member = np.isin(lbs, ids)
+            if not member.any():
+                outs[part][name] = None
+                continue
+            mpos = pos[member]
+            keep = np.zeros(len(arr), bool)
+            # chunk the (N, M) L1 distance to bound memory on big frames
+            step = max(1, 2_000_000 // max(len(mpos), 1))
+            for s in range(0, len(arr), step):
+                d = np.abs(pos[s:s + step, None] - mpos[None]).sum(-1)
+                keep[s:s + step] = d.min(axis=1) < dilate_px
+            outs[part][name] = arr[keep]
+    paths = {}
+    for part, data in outs.items():
+        p = os.path.join(out_dir, f"name-2-3d.{part}.pkl")
+        with open(p, "wb") as f:
+            pickle.dump(data, f)
+        paths[part] = p
+    return paths
+
+
+# -- cross-frame appearance warp strips ----------------------------------------------
+
+def warp_images(dump_path: str, name0: str, name1: str, out_dir: str,
+                size: int | None = None, dist_thresh: float = 1.0,
+                weight_threshold: float = 0.0, max_dist: float = 0.02):
+    """Warp frame0's appearance onto frame1 via canonical mutual-NN pairs
+    (warp_img.py:95-190) and write two comparison strips per direction:
+    [src, dst, warped, rgb-error heat, NN-distance heat]."""
+    import cv2
+    with open(dump_path, "rb") as f:
+        name2info = pickle.load(f)
+    a, b = np.asarray(name2info[name0]), np.asarray(name2info[name1])
+    assert a.shape[1] >= 10 and b.shape[1] >= 10, \
+        "warp-img needs the 10-column dump layout (image positions)"
+    xa, ra, pa = _valid_split(a, weight_threshold)
+    xb, rb, pb = _valid_split(b, weight_threshold)
+    if size is None:
+        size = int(max(pa.max(), pb.max())) + 1
+    i0, i1, d01 = mutual_nearest_pairs(xa, xb)
+    close = d01 < dist_thresh
+
+    def splat(pos, rgb):
+        img = np.zeros([size, size, 3], np.uint8)
+        img[pos[:, 0], pos[:, 1]] = np.clip(rgb * 255, 0, 255).astype(np.uint8)
+        return img
+
+    img0, img1 = splat(pa, ra), splat(pb, rb)
+    errs = np.linalg.norm(ra[i0] - rb[i1], axis=-1)
+    heat = cv2.applyColorMap(
+        np.clip(errs[:, None] * 255, 0, 255).astype(np.uint8),
+        cv2.COLORMAP_JET)[:, 0, ::-1]
+
+    img01 = np.zeros_like(img0)    # frame0's colors at frame1's pixels
+    img10 = np.zeros_like(img0)
+    err01 = np.zeros_like(img0)
+    err10 = np.zeros_like(img0)
+    p0c, p1c = pa[i0[close]], pb[i1[close]]
+    img01[p1c[:, 0], p1c[:, 1]] = np.clip(
+        ra[i0[close]] * 255, 0, 255).astype(np.uint8)
+    img10[p0c[:, 0], p0c[:, 1]] = np.clip(
+        rb[i1[close]] * 255, 0, 255).astype(np.uint8)
+    err01[p1c[:, 0], p1c[:, 1]] = heat[close]
+    err10[p0c[:, 0], p0c[:, 1]] = heat[close]
+
+    def dist_heat(pos, idx, d):
+        m = np.zeros([size, size, 3], np.float32)
+        m[pos[idx, 0], pos[idx, 1], :] = np.clip(d, 0, max_dist)[:, None]
+        dm = cv2.applyColorMap((m / max_dist * 255).astype(np.uint8)[..., 0],
+                               cv2.COLORMAP_JET)[:, :, ::-1]
+        return dm * (m > 0).astype(np.uint8)
+
+    d0_map = dist_heat(pa, i0, d01)
+    d1_map = dist_heat(pb, i1, d01)
+    os.makedirs(out_dir, exist_ok=True)
+    from PIL import Image
+    strip01 = np.concatenate([img0, img1, img01, err01, d1_map], axis=1)
+    strip10 = np.concatenate([img1, img0, img10, err10, d0_map], axis=1)
+    o01 = os.path.join(out_dir, f"{name0}-to-{name1}.png")
+    o10 = os.path.join(out_dir, f"{name1}-to-{name0}.png")
+    Image.fromarray(strip01).save(o01)
+    Image.fromarray(strip10).save(o10)
+    return o01, o10
 
 
 def greedy_maxmin_cluster(D: np.ndarray, n_clusters: int):
@@ -309,6 +514,36 @@ def main():
     p = sub.add_parser("pairwise-distance")
     p.add_argument("--dump", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--chunk-id", type=int, default=0)
+    p.add_argument("--chunk-n", type=int, default=1)
+    p.add_argument("--weight-threshold", type=float, default=0.3)
+    p.add_argument("--dist-thresh", type=float, default=0.002)
+
+    p = sub.add_parser("distance-merge")
+    p.add_argument("--shards", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("distance-pair")
+    p.add_argument("--dump", required=True)
+    p.add_argument("--name0", required=True)
+    p.add_argument("--name1", required=True)
+    p.add_argument("--obj-out", default=None)
+    p.add_argument("--weight-threshold", type=float, default=0.3)
+    p.add_argument("--dist-thresh", type=float, default=0.002)
+
+    p = sub.add_parser("segment")
+    p.add_argument("--dump", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--dilate", type=float, default=10.0)
+
+    p = sub.add_parser("warp-img")
+    p.add_argument("--dump", required=True)
+    p.add_argument("--name0", required=True)
+    p.add_argument("--name1", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--size", type=int, default=None)
+    p.add_argument("--weight-threshold", type=float, default=0.0)
+    p.add_argument("--dist-thresh", type=float, default=1.0)
 
     p = sub.add_parser("cluster")
     p.add_argument("--matrix", required=True)
@@ -342,7 +577,29 @@ def main():
     elif args.cmd == "make-video":
         make_video(args.images, args.out, args.fps)
     elif args.cmd == "pairwise-distance":
-        pairwise_distance_matrix(args.dump, args.out)
+        pairwise_distance_matrix(
+            args.dump, args.out, chunk_id=args.chunk_id,
+            chunk_n=args.chunk_n, weight_threshold=args.weight_threshold,
+            dist_thresh=args.dist_thresh)
+    elif args.cmd == "distance-merge":
+        merge_distance_shards(args.shards, args.out)
+    elif args.cmd == "distance-pair":
+        d = single_pair_distance(
+            args.dump, args.name0, args.name1, obj_out=args.obj_out,
+            weight_threshold=args.weight_threshold,
+            dist_thresh=args.dist_thresh)
+        print(f"distance({args.name0}, {args.name1}) = {d:.6f}")
+    elif args.cmd == "segment":
+        paths = segment_dump(args.dump, args.out_dir, dilate_px=args.dilate)
+        for part, path in paths.items():
+            print(f"{part}: {path}")
+    elif args.cmd == "warp-img":
+        o01, o10 = warp_images(
+            args.dump, args.name0, args.name1, args.out_dir, size=args.size,
+            weight_threshold=args.weight_threshold,
+            dist_thresh=args.dist_thresh)
+        print(o01)
+        print(o10)
     elif args.cmd == "cluster":
         D = np.load(args.matrix)
         clusters = greedy_maxmin_cluster(D, args.n)

@@ -97,3 +97,104 @@ def test_pairwise_distance_matrix(tmp_path):
     assert D.shape == (3, 3)
     assert np.allclose(np.diag(D), 0)
     assert D[0, 2] > D[0, 1] > 0
+
+
+def _dump10(rng, n, part_joint, size=64, weight=0.9):
+    """(n, 10) dump rows: [xyz, rgb, w, row, col, lbs]."""
+    xyz = rng.rand(n, 3).astype(np.float32)
+    rgb = rng.rand(n, 3).astype(np.float32)
+    w = np.full((n, 1), weight, np.float32)
+    pos = rng.randint(0, size, (n, 2)).astype(np.float32)
+    lbs = np.full((n, 1), part_joint, np.float32)
+    return np.concatenate([xyz, rgb, w, pos, lbs], axis=1)
+
+
+def test_sharded_distance_matches_full(tmp_path):
+    rng = np.random.RandomState(2)
+    dump = {f"f{i}": _dump10(rng, 40, 15) for i in range(5)}
+    p = tmp_path / "dump.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(dump, f)
+    _, full = analysis.pairwise_distance_matrix(
+        str(p), str(tmp_path / "full.npy"), dist_thresh=0.2)
+    shards = []
+    for k in range(3):
+        out = tmp_path / f"s{k}.npy"
+        analysis.pairwise_distance_matrix(
+            str(p), str(out), chunk_id=k, chunk_n=3, dist_thresh=0.2)
+        shards.append(str(out))
+    merged = analysis.merge_distance_shards(shards,
+                                            str(tmp_path / "merged.npy"))
+    np.testing.assert_allclose(merged, full, rtol=1e-6)
+    assert full.max() > 0
+
+
+def test_segment_dump_parts_and_dilation(tmp_path):
+    rng = np.random.RandomState(3)
+    # head points in the top-left pixel corner, lfoot far away
+    head = _dump10(rng, 20, 15)
+    head[:, 7:9] = rng.randint(0, 8, (20, 2))
+    foot = _dump10(rng, 20, 7)
+    foot[:, 7:9] = rng.randint(50, 60, (20, 2))
+    dump = {"f0": np.concatenate([head, foot], axis=0)}
+    p = tmp_path / "dump.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(dump, f)
+    paths = analysis.segment_dump(str(p), str(tmp_path / "seg"))
+    with open(paths["head"], "rb") as f:
+        seg_head = pickle.load(f)["f0"]
+    with open(paths["lfoot"], "rb") as f:
+        seg_foot = pickle.load(f)["f0"]
+    with open(paths["belly"], "rb") as f:
+        seg_belly = pickle.load(f)["f0"]
+    # far-apart parts don't bleed into each other; 10px dilation keeps
+    # every member point itself
+    assert len(seg_head) == 20 and (seg_head[:, 9] == 15).all()
+    assert len(seg_foot) == 20 and (seg_foot[:, 9] == 7).all()
+    assert seg_belly is None   # no belly joints present
+
+    # distance on a segment dump works (the _seg variant's use)
+    dump2 = {"f0": seg_head, "f1": seg_head, "f2": None}
+    p2 = tmp_path / "seg_dump.pkl"
+    with open(p2, "wb") as f:
+        pickle.dump(dump2, f)
+    _, D = analysis.pairwise_distance_matrix(str(p2),
+                                             str(tmp_path / "d.npy"))
+    assert D.shape == (3, 3) and D[0, 1] == 0.0   # identical -> 0 rgb error
+    assert (D[:, 2] == 0).all()                   # None frames skipped
+
+
+def test_single_pair_distance_writes_obj(tmp_path):
+    rng = np.random.RandomState(4)
+    a = _dump10(rng, 30, 15)
+    b = a.copy()
+    b[:, 3:6] = np.clip(b[:, 3:6] + 0.2, 0, 1)
+    p = tmp_path / "dump.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"a": a, "b": b}, f)
+    obj = tmp_path / "pair.obj"
+    d = analysis.single_pair_distance(str(p), "a", "b", obj_out=str(obj),
+                                      dist_thresh=0.5)
+    assert d > 0
+    lines = obj.read_text().strip().splitlines()
+    assert len(lines) == 2 * 30 and lines[0].startswith("v ")
+
+
+def test_warp_images_strips(tmp_path):
+    pytest.importorskip("cv2")
+    rng = np.random.RandomState(5)
+    a = _dump10(rng, 50, 15, size=32)
+    b = a.copy()
+    b[:, 7:9] = rng.randint(0, 32, (50, 2))     # same canon pts, moved pixels
+    p = tmp_path / "dump.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"a": a, "b": b}, f)
+    o01, o10 = analysis.warp_images(str(p), "a", "b", str(tmp_path / "w"),
+                                    size=32)
+    from PIL import Image
+    img = np.asarray(Image.open(o01))
+    assert img.shape == (32, 32 * 5, 3)         # 5-panel strip
+    # warped panel (3rd) carries frame a's colors onto frame b's pixels
+    warped = img[:, 2 * 32:3 * 32]
+    assert warped.max() > 0
+    assert os.path.isfile(o10)
