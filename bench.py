@@ -1,12 +1,15 @@
-"""Render-throughput benchmark: ray-samples/sec/chip on the full model.
+"""Render + train-step benchmark on the full model (one JSON line).
 
-Runs the complete HumanNeRF forward (motion-weight volume decode, inverse-
-LBS warp, non-rigid + canonical MLPs, compositing) on one chip and reports
-ray-samples/sec. Baseline target from BASELINE.json: 5M ray-samples/sec/chip.
+Primary metric: render ray-samples/sec/chip in bfloat16 (the TPU production
+config; baseline target 5M/s/chip from BASELINE.json). The same line also
+reports the float32 render number (the reference-parity default dtype) and
+the full training-step time at the reference's per-step workload (6 patches
+x 32^2 rays x 128 samples, LPIPS 1.0 + MSE 0.2 -- default.yaml:352-357,278-281)
+so both quality-critical and throughput-critical configs are on record.
 
-Prints ONE JSON line:
   {"metric": "ray_samples_per_sec_per_chip", "value": N, "unit": "samples/s",
-   "vs_baseline": N/5e6}
+   "vs_baseline": N/5e6, "render_f32_samples_per_sec": N,
+   "train_step_ms": N, "train_it_per_sec": N}
 """
 
 import argparse
@@ -16,59 +19,132 @@ import time
 import numpy as np
 
 
+def _median_time(fn, iters, warmup):
+    # NOTE: on the experimental axon platform block_until_ready returns
+    # before execution completes; a host fetch (float()) is the only honest
+    # sync, and scalar results keep the dev-tunnel transfer at 4 bytes.
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_render(args, dtype: str) -> float:
+    import jax
+    import jax.numpy as jnp
+    from humannerf_tpu.config import make_cfg
+    from humannerf_tpu.models.network import HumanNeRF
+    from __graft_entry__ import _synthetic_inputs
+
+    cfg = make_cfg(opts=["N_samples", str(args.samples), "dtype", dtype])
+    net = HumanNeRF(cfg)
+    params = net.init_params(jax.random.key(0))
+    frame, rays = _synthetic_inputs(cfg, n_rays=args.rays)
+    # f32 activations at 64K rays x 128 samples are 8 GB/layer -> block the
+    # rays (lax.map) to fit the 16 GB HBM; bf16 runs the single fused block
+    chunk = None if dtype == "bfloat16" else max(args.rays // 8, 1024)
+
+    @jax.jit
+    def render(params, frame, rays):
+        return net.render_rays(params, frame, rays, jnp.asarray(1e7),
+                               chunk=chunk)["rgb"].sum()
+
+    dt = _median_time(lambda: float(render(params, frame, rays)),
+                      args.iters, args.warmup + 1)
+    return args.rays * args.samples / dt
+
+
+def bench_train_step(args) -> float:
+    """Median seconds per full training step (fwd+loss+bwd+adam)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from humannerf_tpu.config import make_cfg
+    from humannerf_tpu.parallel import mesh as mesh_lib
+    from humannerf_tpu.train.trainer import Trainer
+    from __graft_entry__ import _synthetic_inputs
+
+    cfg = make_cfg(opts=[
+        "N_samples", "128", "dtype", args.train_dtype,
+        "patch.size", "32", "patch.N_patches", "6",
+        "train.lossweights.lpips", "1.0", "train.lossweights.mse", "0.2",
+        "train.remat", args.train_remat,
+    ])
+    cfg.logdir = tempfile.mkdtemp()
+    cfg.resume = False
+    trainer = Trainer(cfg, log=lambda *a: None)
+
+    n_rays = 6 * 32 * 32
+    frame, rays = _synthetic_inputs(cfg, n_rays=n_rays)
+    rng = np.random.RandomState(0)
+    batch = dict(frame)
+    batch.update(rays)
+    batch["target_patches"] = jnp.asarray(
+        rng.rand(6, 32, 32, 3).astype(np.float32))
+    batch["patch_ray_idx"] = jnp.asarray(
+        np.arange(n_rays, dtype=np.int32).reshape(6, 32, 32))
+    batch["bgcolor"] = jnp.zeros(3, jnp.float32)
+    batch["head_id"] = jnp.asarray(0, jnp.int32)
+    db = mesh_lib.put_batch(batch, trainer.mesh)
+
+    state = {"i": 0}
+
+    def step():
+        state["i"] += 1
+        trainer.params, trainer.opt_state, loss, _ = trainer._train_step(
+            trainer.params, trainer.opt_state, db,
+            jax.random.key(state["i"]), jnp.asarray(float(state["i"])))
+        float(loss)
+
+    return _median_time(step, args.iters, args.warmup + 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=65536)
     ap.add_argument("--samples", type=int, default=128)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--train-dtype", default="bfloat16")
+    ap.add_argument("--train-remat", default="True")
+    ap.add_argument("--skip-f32", action="store_true")
+    ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
+    import sys
+
     from humannerf_tpu import runtime
     runtime.setup()
-    from humannerf_tpu.config import make_cfg
-    from humannerf_tpu.models.network import HumanNeRF
-    from __graft_entry__ import _synthetic_inputs
 
-    cfg = make_cfg(opts=[
-        "N_samples", str(args.samples),
-        "dtype", args.dtype,
-    ])
-    net = HumanNeRF(cfg)
-    params = net.init_params(jax.random.key(0))
-    frame, rays = _synthetic_inputs(cfg, n_rays=args.rays)
+    def note(msg):
+        print(f"# {msg}", file=sys.stderr, flush=True)
 
-    @jax.jit
-    def render(params, frame, rays):
-        # returns a scalar: forces the full render while keeping the
-        # host sync transfer at 4 bytes (the dev-tunnel transfers at
-        # ~6 MB/s, which would otherwise dominate the measurement)
-        return net.render_rays(params, frame, rays, jnp.asarray(1e7))["rgb"].sum()
-
-    # NOTE: on the experimental axon platform block_until_ready returns
-    # before execution completes; a host fetch is the only honest sync.
-    float(render(params, frame, rays))
-    for _ in range(args.warmup):
-        float(render(params, frame, rays))
-
-    times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        float(render(params, frame, rays))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-
-    sps = args.rays * args.samples / dt
-    baseline = 5e6
-    print(json.dumps({
+    note("render bf16...")
+    sps_bf16 = bench_render(args, "bfloat16")
+    note(f"render bf16: {sps_bf16/1e6:.1f} M samples/s")
+    out = {
         "metric": "ray_samples_per_sec_per_chip",
-        "value": round(sps, 1),
+        "value": round(sps_bf16, 1),
         "unit": "samples/s",
-        "vs_baseline": round(sps / baseline, 4),
-    }))
+        "vs_baseline": round(sps_bf16 / 5e6, 4),
+    }
+    if not args.skip_f32:
+        note("render f32...")
+        out["render_f32_samples_per_sec"] = round(bench_render(args,
+                                                               "float32"), 1)
+        note(f"render f32: {out['render_f32_samples_per_sec']/1e6:.1f} M")
+    if not args.skip_train:
+        note("train step...")
+        dt = bench_train_step(args)
+        out["train_step_ms"] = round(dt * 1e3, 1)
+        out["train_it_per_sec"] = round(1.0 / dt, 2)
+        note(f"train step: {out['train_step_ms']} ms")
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

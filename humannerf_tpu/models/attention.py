@@ -2,9 +2,11 @@
 
 Implements the pieces the reference builds from torch.nn: MultiheadAttention
 (qkv in-proj + out-proj), post-LN TransformerEncoderLayer / Encoder stacks,
-and LayerNorm. Dropout is omitted (evaluation semantics); the reference
-enables attention dropout 0.1-0.2 during training only -- a regularization
-difference documented here, not a math difference.
+LayerNorm, and train-time dropout. Passing `rng=None` (the default) gives
+torch eval() semantics -- dropout off; the trainer threads a PRNG key so the
+reference's attention dropout (MultiheadAttention dropout=0.2 in
+selfattention.py:65 / mlp_offset_SA.py:44, TransformerEncoderLayer default
+0.1) is active during training only.
 """
 
 from __future__ import annotations
@@ -16,6 +18,14 @@ import jax.numpy as jnp
 
 from humannerf_tpu.models.init import GAIN_LINEAR, GAIN_RELU, linear_params
 from humannerf_tpu.models.mlps import _dense
+
+
+def dropout(rng, rate: float, x):
+    """Inverted dropout (torch semantics). rng=None or rate<=0 -> identity."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
 
 
 def init_layer_norm(dim: int):
@@ -44,8 +54,10 @@ def init_mha(key, dim: int, num_heads: int = 1):
     }
 
 
-def apply_mha(p, query, key, value, dtype=jnp.float32):
-    """Self/cross attention over (..., T, D). num_heads from params."""
+def apply_mha(p, query, key, value, dtype=jnp.float32, *,
+              dropout_rate: float = 0.0, rng=None):
+    """Self/cross attention over (..., T, D). num_heads from params.
+    Dropout lands on the softmaxed attention weights (torch MHA)."""
     D = query.shape[-1]
     H = int(p["num_heads"])
     dh = D // H
@@ -62,6 +74,7 @@ def apply_mha(p, query, key, value, dtype=jnp.float32):
     scores = jnp.einsum("...td,...sd->...ts", qh, kh,
                         precision=prec) / math.sqrt(dh)
     attn = jax.nn.softmax(scores, axis=-1)
+    attn = dropout(rng, dropout_rate, attn)
     out = jnp.einsum("...ts,...sd->...td", attn, vh, precision=prec)
     out = out.swapaxes(-2, -3).reshape(query.shape[:-1] + (D,))
     return _dense(p["out_proj"], out, dtype), attn
@@ -79,11 +92,20 @@ def init_transformer_encoder_layer(key, d_model: int, nhead: int,
     }
 
 
-def apply_transformer_encoder_layer(p, x, dtype=jnp.float32):
-    """torch default post-LN layer: x = LN(x + SA(x)); x = LN(x + FFN(x))."""
-    sa, _ = apply_mha(p["mha"], x, x, x, dtype)
-    x = apply_layer_norm(p["norm1"], x + sa)
-    ff = _dense(p["ff2"], jax.nn.relu(_dense(p["ff1"], x, dtype)), dtype)
+def apply_transformer_encoder_layer(p, x, dtype=jnp.float32, *,
+                                    dropout_rate: float = 0.0, rng=None):
+    """torch default post-LN layer: x = LN(x + SA(x)); x = LN(x + FFN(x)).
+
+    Dropout sites match torch TransformerEncoderLayer (default p=0.1): on
+    attention weights, after the SA output, after the FFN activation, and
+    after the second FFN linear."""
+    ks = jax.random.split(rng, 4) if rng is not None else (None,) * 4
+    sa, _ = apply_mha(p["mha"], x, x, x, dtype,
+                      dropout_rate=dropout_rate, rng=ks[0])
+    x = apply_layer_norm(p["norm1"], x + dropout(ks[1], dropout_rate, sa))
+    h = dropout(ks[2], dropout_rate,
+                jax.nn.relu(_dense(p["ff1"], x, dtype)))
+    ff = dropout(ks[3], dropout_rate, _dense(p["ff2"], h, dtype))
     return apply_layer_norm(p["norm2"], x + ff)
 
 
@@ -98,9 +120,12 @@ def init_transformer_encoder(key, d_model: int, nhead: int,
     }
 
 
-def apply_transformer_encoder(p, x, dtype=jnp.float32):
-    for layer in p["layers"]:
-        x = apply_transformer_encoder_layer(layer, x, dtype)
+def apply_transformer_encoder(p, x, dtype=jnp.float32, *,
+                              dropout_rate: float = 0.0, rng=None):
+    for i, layer in enumerate(p["layers"]):
+        k = jax.random.fold_in(rng, i) if rng is not None else None
+        x = apply_transformer_encoder_layer(layer, x, dtype,
+                                            dropout_rate=dropout_rate, rng=k)
     return apply_layer_norm(p["norm"], x)
 
 

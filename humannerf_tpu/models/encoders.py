@@ -96,9 +96,12 @@ def _positional_encoding(p, T):
     raise ValueError(pe_type)
 
 
-def apply_selfattention(p, seq, dtype=jnp.float32, attention_on: bool = True):
+def apply_selfattention(p, seq, dtype=jnp.float32, attention_on: bool = True,
+                        rng=None):
     """(..., T, D) -> (..., out_dim): single-head SA over the sequence,
-    output taken at position 0 (selfattention.py:68-86)."""
+    output taken at position 0 (selfattention.py:68-86). rng != None
+    enables the reference's train-time attention dropout 0.2
+    (selfattention.py:65)."""
     T = seq.shape[-2]
     if p["pe_type"] != "empty" and p["pe_order"] == "before_fc":
         pe = jnp.broadcast_to(_positional_encoding(p, T),
@@ -118,7 +121,8 @@ def apply_selfattention(p, seq, dtype=jnp.float32, attention_on: bool = True):
         pe = _positional_encoding(p, T) if p["pe_type"] != "empty" else 0.0
         sa_in = x + pe
     if attention_on:
-        out, _ = apply_mha(p["mha"], sa_in, sa_in, sa_in, dtype)
+        out, _ = apply_mha(p["mha"], sa_in, sa_in, sa_in, dtype,
+                           dropout_rate=0.2, rng=rng)
         h = out[..., 0, :]
     else:  # reference ATTENTION_OFF toggle (selfattention.py:62-66,82-84)
         h = jnp.mean(sa_in, axis=-2)

@@ -241,10 +241,13 @@ class HumanNeRF:
     # -- per-frame preparation ----------------------------------------------
 
     def prepare_frame(self, params: dict, frame: dict,
-                      iter_val: jnp.ndarray) -> dict:
+                      iter_val: jnp.ndarray,
+                      dropout_rng: jax.Array | None = None) -> dict:
         """Pose refinement + motion basis + weight volume + condition code.
 
         Runs once per frame (reference network.py:647-769 pre-ray section).
+        dropout_rng != None enables train-time dropout in the attention
+        condition-code encoder (torch train()/eval() semantics).
         """
         cfg = self.cfg
         dst_Rs, dst_Ts = frame["dst_Rs"], frame["dst_Ts"]
@@ -332,7 +335,7 @@ class HumanNeRF:
                 if encoder == "selfattention":
                     cond = enc.apply_selfattention(
                         params["condition_code_encoder"], cond,
-                        dtype=self.compute_dtype)
+                        dtype=self.compute_dtype, rng=dropout_rng)
                 elif encoder == "mlpseq":
                     cond = enc.apply_mlpseq(params["condition_code_encoder"],
                                             cond, dtype=self.compute_dtype)
@@ -450,7 +453,8 @@ class HumanNeRF:
 
     def _query_points(self, params: dict, ctx: dict, x_skel: jnp.ndarray,
                       bw_weights: jnp.ndarray, dir_embed,
-                      head_id=None, head_mode: str = "single"):
+                      head_id=None, head_mode: str = "single",
+                      dropout_rng: jax.Array | None = None):
         """Canonical points -> (raw, xyz, offsets).
 
         head_mode 'single': (M, 4) / (M, 3). 'select': one traced head id
@@ -483,16 +487,16 @@ class HumanNeRF:
                     res = nv.apply_nonrigid_sa(
                         params["non_rigid_mlp"], nr_embed, x_skel, cond,
                         skips=tuple(cfg.non_rigid_motion_mlp_sa.skips),
-                        dtype=self.compute_dtype)
+                        dtype=self.compute_dtype, rng=dropout_rng)
                 elif model == "transformer_encoder":
                     res = nv.apply_nonrigid_transformer(
                         params["non_rigid_mlp"], nr_embed, x_skel,
                         cond.reshape(-1, cond.shape[-1]),
-                        dtype=self.compute_dtype)
+                        dtype=self.compute_dtype, rng=dropout_rng)
                 elif model == "TStransformer_encoder":
                     res = nv.apply_nonrigid_ts_transformer(
                         params["non_rigid_mlp"], nr_embed, x_skel, cond,
-                        dtype=self.compute_dtype)
+                        dtype=self.compute_dtype, rng=dropout_rng)
                 else:
                     raise ValueError(model)
             xyz, offsets = res["xyz"], res["offsets"]
@@ -535,8 +539,13 @@ class HumanNeRF:
     def render_block(self, params: dict, ctx: dict, block: dict,
                      rng: jax.Array | None = None, *, perturb: bool = False,
                      full_outputs: bool = False, remat: bool = False,
-                     head_id=0, head_mode: str = "single") -> dict:
-        """Render one fixed-size ray block (reference `_render_rays`)."""
+                     head_id=0, head_mode: str = "single",
+                     train: bool = False) -> dict:
+        """Render one fixed-size ray block (reference `_render_rays`).
+
+        train=True (with an rng) enables dropout in the attention-based
+        non-rigid variants, mirroring torch train()/eval() mode.
+        """
         cfg = self.cfg
         rays_o, rays_d = block["rays_o"], block["rays_d"]
         near, far = block["near"], block["far"]
@@ -588,9 +597,13 @@ class HumanNeRF:
         # embed/warp into the matmuls costs ~7x (measured on v5e)
         x_skel = jax.lax.optimization_barrier(x_skel)
 
+        drop_rng = jax.random.fold_in(rng, 13) \
+            if (train and rng is not None) else None
+
         def query(p, c, x, bw, de):
             return self._query_points(p, c, x, bw, de, head_id=head_id,
-                                      head_mode=head_mode)
+                                      head_mode=head_mode,
+                                      dropout_rng=drop_rng)
         if remat:
             query = jax.checkpoint(query)
         raw, xyz, offsets = query(params, ctx, x_skel, bw_weights, dir_embed)
@@ -637,16 +650,21 @@ class HumanNeRF:
                     iter_val, rng: jax.Array | None = None, *,
                     perturb: bool = False, chunk: int | None = None,
                     full_outputs: bool = False, remat: bool = False,
-                    head_id=0, head_mode: str = "single") -> dict:
+                    head_id=0, head_mode: str = "single",
+                    train: bool = False) -> dict:
         """Full forward: prepare frame once, render rays (blocked if chunked).
 
         rays_* leaves must have leading dim divisible by `chunk` when given.
-        In head_mode 'all' outputs gain a leading head axis.
+        In head_mode 'all' outputs gain a leading head axis. train=True
+        enables dropout (torch train() semantics); requires an rng.
         """
-        ctx = self.prepare_frame(params, frame, iter_val)
+        frame_drop_rng = jax.random.fold_in(rng, 7) \
+            if (train and rng is not None) else None
+        ctx = self.prepare_frame(params, frame, iter_val,
+                                 dropout_rng=frame_drop_rng)
         n_rays = rays["rays_o"].shape[0]
         kw = dict(perturb=perturb, full_outputs=full_outputs, remat=remat,
-                  head_id=head_id, head_mode=head_mode)
+                  head_id=head_id, head_mode=head_mode, train=train)
         if chunk is None or chunk >= n_rays:
             return self.render_block(params, ctx, rays, rng, **kw)
         assert n_rays % chunk == 0, (n_rays, chunk)

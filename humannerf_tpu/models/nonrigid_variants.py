@@ -79,8 +79,10 @@ def init_nonrigid_sa(key, *, pos_embed_size: int, condition_code_size: int,
 
 
 def apply_nonrigid_sa(p, pos_embed, pos_xyz, condition_seq, *, skips=(4,),
-                      dtype=jnp.float32):
-    """condition_seq: (T, D) temporal condition codes; pos_embed: (N, E)."""
+                      dtype=jnp.float32, rng=None):
+    """condition_seq: (T, D) temporal condition codes; pos_embed: (N, E).
+    rng != None enables the reference's train-time attention dropout 0.2
+    (mlp_offset_SA.py:44)."""
     skips = set(skips)
     pe_proj = jax.nn.relu(_dense(p["pos_embed_proj"], pos_embed, dtype))
     cond_in = jax.nn.relu(_dense(p["cond_in_proj"], condition_seq, dtype))
@@ -95,7 +97,8 @@ def apply_nonrigid_sa(p, pos_embed, pos_xyz, condition_seq, *, skips=(4,),
         emb = transformer_sine_pe(jnp.arange(T, dtype=jnp.float32),
                                   p["cond_in_proj"]["w"].shape[1])
     sa_in = cond_in + emb
-    sa_out, _ = apply_mha(p["mha"], sa_in, sa_in, sa_in, dtype)
+    sa_out, _ = apply_mha(p["mha"], sa_in, sa_in, sa_in, dtype,
+                          dropout_rate=0.2, rng=rng)
     cond_out = jax.nn.relu(_dense(p["cond_out_proj"], sa_out[0], dtype))
     if p["version"] == 2:
         cond_out = apply_layer_norm(p["cond_layer_norm"],
@@ -140,9 +143,10 @@ def init_nonrigid_transformer(key, *, query_input_dim: int, cfg_te):
 
 
 def apply_nonrigid_transformer(p, pos_embed, pos_xyz, condition_tokens, *,
-                               dtype=jnp.float32):
+                               dtype=jnp.float32, rng=None):
     """condition_tokens: (L, D_cond) with L = num_frames * joint_number
-    (transformer_offset.py:51-73). pos_embed: (N, E)."""
+    (transformer_offset.py:51-73). pos_embed: (N, E). rng != None enables
+    torch TransformerEncoderLayer's default train-time dropout 0.1."""
     J = int(p["joint_number"])
     L = condition_tokens.shape[0]
     T = L // J
@@ -156,7 +160,8 @@ def apply_nonrigid_transformer(p, pos_embed, pos_xyz, condition_tokens, *,
     q = _dense(p["query_proj"], pos_embed, dtype)[:, None, :]   # (N, 1, d)
     cond_b = jnp.broadcast_to(cond, (q.shape[0],) + cond.shape)
     x = jnp.concatenate([q, cond_b], axis=1)                    # (N, 1+L, d)
-    out = apply_transformer_encoder(p["encoder"], x, dtype)[:, 0]
+    out = apply_transformer_encoder(p["encoder"], x, dtype,
+                                    dropout_rate=0.1, rng=rng)[:, 0]
     trans = _dense(p["output"], out, dtype)
     return {"xyz": pos_xyz + trans, "offsets": trans}
 
@@ -190,25 +195,30 @@ def init_nonrigid_ts_transformer(key, *, query_input_dim: int, cfg_ts):
 
 
 def apply_nonrigid_ts_transformer(p, pos_embed, pos_xyz, condition_tjd, *,
-                                  dtype=jnp.float32):
+                                  dtype=jnp.float32, rng=None):
     """condition_tjd: (T, J, D). Stage 1 attends within each joint's
     temporal sequence (or each frame's joints for order 'ST'); stage 2
     attends a query token over the stage-1 summaries
-    (TStransformer_offset.py:46-73)."""
+    (TStransformer_offset.py:46-73). rng != None enables torch
+    TransformerEncoderLayer's default train-time dropout 0.1."""
+    k1 = k2 = None
+    if rng is not None:
+        k1, k2 = jax.random.split(rng)
     cond = condition_tjd
     if p["attention_order"] == "TS":
         cond = jnp.swapaxes(cond, 0, 1)                 # (J, T, D)
     G, T = cond.shape[0], cond.shape[1]
     emb1 = p["embedding1"][:T]
     chunk = _dense(p["condition_proj"], cond, dtype)    # (G, T, d1)
-    o1 = apply_transformer_encoder(p["encoder1"], chunk + emb1,
-                                   dtype)[:, 0]         # (G, d1)
+    o1 = apply_transformer_encoder(p["encoder1"], chunk + emb1, dtype,
+                                   dropout_rate=0.1, rng=k1)[:, 0]  # (G, d1)
     o12 = _dense(p["condition_proj2"], o1, dtype)       # (G, d2)
 
     q = _dense(p["query_proj"], pos_embed, dtype)[:, None, :]  # (N, 1, d2)
     o12_b = jnp.broadcast_to(o12, (q.shape[0],) + o12.shape)
     x = jnp.concatenate([q, o12_b], axis=1)             # (N, G+1, d2)
     x = x + p["embedding2"][:G + 1]
-    out = apply_transformer_encoder(p["encoder2"], x, dtype)[:, 0]
+    out = apply_transformer_encoder(p["encoder2"], x, dtype,
+                                    dropout_rate=0.1, rng=k2)[:, 0]
     trans = _dense(p["output"], out, dtype)
     return {"xyz": pos_xyz + trans, "offsets": trans}

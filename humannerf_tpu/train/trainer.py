@@ -48,11 +48,13 @@ def split_batch(batch: dict):
 
 
 class EvalRenderer:
-    """Jitted full-image renderer with ray padding to block multiples.
+    """Jitted full-image renderer with ray padding to bucketed block sizes.
 
-    Pads the variable masked-ray count to a multiple of `chunk` (the
-    reference's eval chunk, default.yaml:362) so recompiles are bounded by
-    the number of distinct padded sizes per sequence.
+    Pads the variable masked-ray count to `chunk * 2^k` (the reference's
+    eval chunk, default.yaml:362, is the smallest bucket), so a whole
+    sequence with arbitrary per-frame masked-ray counts compiles at most
+    log2(max_rays / chunk) + 1 programs -- not one per distinct chunk
+    multiple.
     """
 
     def __init__(self, net: HumanNeRF, chunk: int = 8192, mesh=None):
@@ -80,7 +82,9 @@ class EvalRenderer:
                      full_outputs: bool = False, head_mode: str = "single",
                      head_id: int = 0) -> dict:
         n = item["rays_o"].shape[0]
-        n_pad = max(self.chunk, int(np.ceil(n / self.chunk)) * self.chunk)
+        n_pad = self.chunk
+        while n_pad < n:
+            n_pad *= 2
         rays = {}
         for k in RAY_KEYS:
             v = item[k]
@@ -157,7 +161,7 @@ class Trainer:
             out = net.render_rays(params, frame, rays, iter_val, rng,
                                   perturb=perturb, remat=bool(cfg.train.get('remat', True)),
                                   head_id=batch.get("head_id", 0),
-                                  head_mode=head_mode)
+                                  head_mode=head_mode, train=True)
             if head_mode == "all":
                 return argmin_multihead_loss(
                     out["rgb"], batch["patch_ray_idx"],
