@@ -19,18 +19,36 @@ import time
 import numpy as np
 
 
-def _median_time(fn, iters, warmup):
-    # NOTE: on the experimental axon platform block_until_ready returns
-    # before execution completes; a host fetch (float()) is the only honest
-    # sync, and scalar results keep the dev-tunnel transfer at 4 bytes.
+def _amortized_time(dispatch, iters, warmup):
+    """Seconds per step, amortizing the axon host<->device round trip.
+
+    On this machine's axon tunnel a host fetch costs ~30 ms regardless of
+    payload (measured: a jitted no-op sum takes 33 ms, 16 chained steps add
+    0.76 ms each), and block_until_ready returns early, so a float() fetch
+    is the only honest sync. A real train/render loop dispatches steps
+    asynchronously and fetches rarely, so the honest per-step cost is
+
+        [K dispatches + 1 fetch] - [1 dispatch + 1 fetch]  over  K - 1.
+
+    `dispatch` must return a (small) device array; the device queue
+    serializes execution, so fetching the last result syncs them all.
+    """
+    assert iters >= 2
     for _ in range(warmup):
-        fn()
-    times = []
+        float(dispatch())
+    t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
+        out = dispatch()
+    float(out)
+    t_total = time.perf_counter() - t0
+    one = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        fn()
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        float(dispatch())
+        one.append(time.perf_counter() - t0)
+    t_one = float(np.median(one))
+    return max(t_total - t_one, 1e-9) / (iters - 1)
 
 
 def bench_render(args, dtype: str) -> float:
@@ -43,19 +61,20 @@ def bench_render(args, dtype: str) -> float:
     cfg = make_cfg(opts=["N_samples", str(args.samples), "dtype", dtype])
     net = HumanNeRF(cfg)
     params = net.init_params(jax.random.key(0))
-    frame, rays = _synthetic_inputs(cfg, n_rays=args.rays)
-    # f32 activations at 64K rays x 128 samples are 8 GB/layer -> block the
-    # rays (lax.map) to fit the 16 GB HBM; bf16 runs the single fused block
-    chunk = None if dtype == "bfloat16" else max(args.rays // 8, 1024)
+    # f32 activations at 64K rays x 128 samples are 8 GB/layer; a 16K-ray
+    # single block (2 GB peak) fits HBM and still saturates the chip, and
+    # avoids the slow-to-compile lax.map loop
+    n_rays = args.rays if dtype == "bfloat16" else min(args.rays, 16384)
+    frame, rays = _synthetic_inputs(cfg, n_rays=n_rays)
 
     @jax.jit
     def render(params, frame, rays):
-        return net.render_rays(params, frame, rays, jnp.asarray(1e7),
-                               chunk=chunk)["rgb"].sum()
+        return net.render_rays(params, frame, rays,
+                               jnp.asarray(1e7))["rgb"].sum()
 
-    dt = _median_time(lambda: float(render(params, frame, rays)),
-                      args.iters, args.warmup + 1)
-    return args.rays * args.samples / dt
+    dt = _amortized_time(lambda: render(params, frame, rays),
+                         args.iters, args.warmup + 1)
+    return n_rays * args.samples / dt
 
 
 def bench_train_step(args) -> float:
@@ -99,9 +118,9 @@ def bench_train_step(args) -> float:
         trainer.params, trainer.opt_state, loss, _ = trainer._train_step(
             trainer.params, trainer.opt_state, db,
             jax.random.key(state["i"]), jnp.asarray(float(state["i"])))
-        float(loss)
+        return loss
 
-    return _median_time(step, args.iters, args.warmup + 1)
+    return _amortized_time(step, args.iters, args.warmup + 1)
 
 
 def main():

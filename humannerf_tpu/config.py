@@ -356,7 +356,13 @@ def default_config() -> CN:
         #   fused: per-frame fused observation-space volume (fast, mild
         #          double-interpolation smoothing)
         #   exact: reference-parity per-bone trilerp (slow XLA gathers)
-        "pallas": {"composite": False},  # opt-in Pallas compositing kernel
+        # Pallas TPU kernels (both numerically parity-tested vs the jnp path):
+        #   composite: fused per-ray integration (ops/pallas_composite.py)
+        #   mlp: fused embed+non-rigid+canonical MLP query (ops/pallas_mlp.py),
+        #        active on TPU for kernel-eligible configs (default model
+        #        family); mlp_block / mlp_block_bwd tune the sample block
+        "pallas": {"composite": False, "mlp": True, "mlp_interpret": False,
+                   "mlp_block": 2048, "mlp_block_bwd": 512},
         "warp": {"mode": "fused", "grid_size": 48, "packed": True,
                  "include_bone_weights": False, "bbox_margin": 0.05},
     })

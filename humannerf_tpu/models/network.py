@@ -102,6 +102,16 @@ class HumanNeRF:
             self.dir_embed_dim = 0
         self.compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" \
             else jnp.float32
+        # fused Pallas MLP path (ops/pallas_mlp.py): plans are None when the
+        # config needs features the kernel doesn't cover -- jnp path then
+        self.pallas_mlp_plans = (None, None)
+        if cfg.get_path("pallas.mlp", True):
+            from humannerf_tpu.ops import pallas_mlp
+            self.pallas_mlp_plans = (
+                pallas_mlp.plan_from_cfg(cfg, self.compute_dtype,
+                                         skip_nr=False),
+                pallas_mlp.plan_from_cfg(cfg, self.compute_dtype,
+                                         skip_nr=True))
 
     # -- init ---------------------------------------------------------------
 
@@ -600,13 +610,33 @@ class HumanNeRF:
         drop_rng = jax.random.fold_in(rng, 13) \
             if (train and rng is not None) else None
 
-        def query(p, c, x, bw, de):
-            return self._query_points(p, c, x, bw, de, head_id=head_id,
-                                      head_mode=head_mode,
-                                      dropout_rng=drop_rng)
-        if remat:
-            query = jax.checkpoint(query)
-        raw, xyz, offsets = query(params, ctx, x_skel, bw_weights, dir_embed)
+        plan = self.pallas_mlp_plans[1 if cfg.ignore_non_rigid_motions
+                                     else 0]
+        use_pallas_mlp = (
+            plan is not None and head_mode == "single" and not full_outputs
+            and (cfg.ignore_non_rigid_motions
+                 or ctx["condition_code"] is None
+                 or ctx["condition_code"].ndim == 1)
+            and (jax.default_backend() == "tpu"
+                 or cfg.get_path("pallas.mlp_interpret", False)))
+        if use_pallas_mlp:
+            from humannerf_tpu.ops import pallas_mlp
+            cc = None if cfg.ignore_non_rigid_motions \
+                else ctx["condition_code"]
+            raw = pallas_mlp.query_points_fused(
+                plan, params, x_skel, ctx["hann_alpha"], cc,
+                blk_fwd=int(cfg.get_path("pallas.mlp_block", 2048)),
+                blk_bwd=int(cfg.get_path("pallas.mlp_block_bwd", 512)))
+            xyz = offsets = None   # full_outputs excluded above
+        else:
+            def query(p, c, x, bw, de):
+                return self._query_points(p, c, x, bw, de, head_id=head_id,
+                                          head_mode=head_mode,
+                                          dropout_rng=drop_rng)
+            if remat:
+                query = jax.checkpoint(query)
+            raw, xyz, offsets = query(params, ctx, x_skel, bw_weights,
+                                      dir_embed)
 
         multi = (head_mode == "all" and self.head_num > 1)
         if multi:

@@ -1,0 +1,214 @@
+"""Parity of the fused Pallas MLP kernel vs the reference jnp path.
+
+The kernel must be numerically equivalent (not an approximation): forward
+and gradients are checked against models/mlps.py at f32, and the bf16 plan
+against the bf16 jnp path with bf16-scale tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from humannerf_tpu.models import mlps
+from humannerf_tpu.models.embedders import fourier_embed, hannw_fourier_embed
+from humannerf_tpu.ops import pallas_mlp
+
+NR_MULTIRES = 6
+CNL_MULTIRES = 10
+NR_EMBED = 3 * 2 * NR_MULTIRES
+CNL_EMBED = 3 * (2 * CNL_MULTIRES + 1)
+
+
+def _params(key, nr_depth=6, nr_width=128, cnl_depth=8, cnl_width=256):
+    k1, k2 = jax.random.split(key)
+    nr = mlps.init_nonrigid_mlp(
+        k1, pos_embed_size=NR_EMBED, condition_code_size=69,
+        mlp_width=nr_width, mlp_depth=nr_depth, skips=(4,))
+    cnl = mlps.init_canonical_mlp(
+        k2, input_ch=CNL_EMBED, mlp_depth=cnl_depth, mlp_width=cnl_width,
+        skips=(4,))
+    return {"non_rigid_mlp": nr, "cnl_mlp": cnl}
+
+
+def _plan(dtype, skip_nr=False, nr_depth=6, cnl_depth=8,
+          nr_width=128, cnl_width=256):
+    plan = pallas_mlp.Plan(
+        nr_depth=nr_depth, nr_skips=(4,), nr_width=nr_width,
+        nr_multires=NR_MULTIRES, cnl_depth=cnl_depth, cnl_skips=(4,),
+        cnl_width=cnl_width, cnl_multires=CNL_MULTIRES, skip_nr=skip_nr,
+        compute_dtype=dtype)
+    pallas_mlp.register_plan(plan)
+    return plan
+
+
+def _ref_forward(params, x_skel, cc, alpha, dtype):
+    nr_embed = hannw_fourier_embed(x_skel, NR_MULTIRES, alpha)
+    res = mlps.apply_nonrigid_mlp(params["non_rigid_mlp"], nr_embed, x_skel,
+                                  cc, skips=(4,), dtype=dtype)
+    pos_embed = fourier_embed(res["xyz"], CNL_MULTIRES)
+    return mlps.apply_canonical_mlp(params["cnl_mlp"], pos_embed,
+                                    skips=(4,), dtype=dtype)
+
+
+def _fused_forward(plan, params, x_skel, cc, alpha):
+    return pallas_mlp.query_points_fused(plan, params, x_skel, alpha, cc,
+                                         blk_fwd=128, blk_bwd=128)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.key(0)
+    params = _params(key)
+    x = jax.random.normal(jax.random.key(1), (256, 3)) * 0.5
+    cc = jax.random.normal(jax.random.key(2), (69,)) * 0.1
+    alpha = jnp.asarray(4.3)
+    return params, x, cc, alpha
+
+
+def test_forward_parity_f32(setup):
+    params, x, cc, alpha = setup
+    plan = _plan(jnp.float32)
+    ref = _ref_forward(params, x, cc, alpha, jnp.float32)
+    out = _fused_forward(plan, params, x, cc, alpha)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_forward_parity_bf16(setup):
+    params, x, cc, alpha = setup
+    plan = _plan(jnp.bfloat16)
+    ref = _ref_forward(params, x, cc, alpha, jnp.bfloat16)
+    out = _fused_forward(plan, params, x, cc, alpha)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_forward_parity_alpha_zero(setup):
+    """hann alpha=0 zeroes the nr embedding entirely."""
+    params, x, cc, _ = setup
+    plan = _plan(jnp.float32)
+    ref = _ref_forward(params, x, cc, jnp.asarray(0.0), jnp.float32)
+    out = _fused_forward(plan, params, x, cc, jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grad_parity_f32(setup):
+    params, x, cc, alpha = setup
+    plan = _plan(jnp.float32)
+    cot = jax.random.normal(jax.random.key(3), (256, 4))
+
+    def loss_ref(p, xs, c):
+        return jnp.sum(_ref_forward(p, xs, c, alpha, jnp.float32) * cot)
+
+    def loss_fused(p, xs, c):
+        return jnp.sum(_fused_forward(plan, p, xs, c, alpha) * cot)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(params, x, cc)
+    g_out = jax.grad(loss_fused, argnums=(0, 1, 2))(params, x, cc)
+    flat_ref, tree1 = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_out, tree2 = jax.tree_util.tree_flatten_with_path(g_out)
+    assert tree1 == tree2
+    for (path, a), (_, b) in zip(flat_ref, flat_out):
+        scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4 * scale,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_uneven_n_padding(setup):
+    params, x, cc, alpha = setup
+    plan = _plan(jnp.float32)
+    x_odd = x[:170]
+    ref = _ref_forward(params, x_odd, cc, alpha, jnp.float32)
+    out = pallas_mlp.query_points_fused(plan, params, x_odd, alpha, cc,
+                                        blk_fwd=128, blk_bwd=128)
+    assert out.shape == (170, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_skip_nr_mode(setup):
+    """ignore_non_rigid_motions: xyz == x_skel, only the canonical MLP."""
+    params, x, cc, alpha = setup
+    plan = _plan(jnp.float32, skip_nr=True)
+    pos_embed = fourier_embed(x, CNL_MULTIRES)
+    ref = mlps.apply_canonical_mlp(params["cnl_mlp"], pos_embed,
+                                   skips=(4,), dtype=jnp.float32)
+    out = pallas_mlp.query_points_fused(plan, params, x, alpha, cc,
+                                        blk_fwd=128, blk_bwd=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_render_rays_end_to_end_parity():
+    """Full render_rays with the fused kernel (interpret) == jnp path."""
+    import sys
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _small_cfg, _synthetic_inputs
+    from humannerf_tpu.models.network import HumanNeRF
+
+    cfg = _small_cfg(**{"dtype": "'float32'"})
+    cfg.pallas.mlp_interpret = True
+    net = HumanNeRF(cfg)
+    assert net.pallas_mlp_plans[0] is not None
+    params = net.init_params(jax.random.key(0))
+    frame, rays = _synthetic_inputs(cfg, n_rays=64)
+    out_fused = net.render_rays(params, frame, rays, jnp.asarray(1e7))
+
+    cfg2 = _small_cfg(**{"dtype": "'float32'"})
+    cfg2.pallas.mlp = False
+    net2 = HumanNeRF(cfg2)
+    out_ref = net2.render_rays(params, frame, rays, jnp.asarray(1e7))
+    np.testing.assert_allclose(np.asarray(out_fused["rgb"]),
+                               np.asarray(out_ref["rgb"]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_train_grads_end_to_end_parity():
+    """Gradients of a full rgb loss agree between fused and jnp paths."""
+    import sys
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _small_cfg, _synthetic_inputs
+    from humannerf_tpu.models.network import HumanNeRF
+
+    def grads(use_pallas):
+        cfg = _small_cfg(**{"dtype": "'float32'"})
+        if use_pallas:
+            cfg.pallas.mlp_interpret = True
+        else:
+            cfg.pallas.mlp = False
+        net = HumanNeRF(cfg)
+        params = net.init_params(jax.random.key(0))
+        frame, rays = _synthetic_inputs(cfg, n_rays=32)
+
+        def loss(p):
+            out = net.render_rays(p, frame, rays, jnp.asarray(1e7),
+                                  jax.random.key(1), train=True)
+            return jnp.sum(out["rgb"] ** 2)
+        return jax.grad(loss)(params)
+
+    g_ref = grads(False)
+    g_out = grads(True)
+    flat_ref, t1 = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_out, t2 = jax.tree_util.tree_flatten_with_path(g_out)
+    assert t1 == t2
+    for (path, a), (_, b) in zip(flat_ref, flat_out):
+        scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-4 * scale,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_plan_from_cfg_eligibility():
+    from humannerf_tpu.config import make_cfg
+    cfg = make_cfg(opts=[])
+    plan = pallas_mlp.plan_from_cfg(cfg, jnp.bfloat16, skip_nr=False)
+    assert plan is not None
+    cfg2 = make_cfg(opts=["canonical_mlp.view_dir", "True"])
+    assert pallas_mlp.plan_from_cfg(cfg2, jnp.bfloat16, False) is None
+    cfg3 = make_cfg(opts=["multihead.head_num", "4"])
+    assert pallas_mlp.plan_from_cfg(cfg3, jnp.bfloat16, False) is None
+    cfg4 = make_cfg(opts=["non_rigid_motion_model", "'transformer_encoder'"])
+    assert pallas_mlp.plan_from_cfg(cfg4, jnp.bfloat16, False) is None
