@@ -16,12 +16,15 @@ sys.path.insert(0, ".")
 
 ABLATIONS = [
     ("baseline", {}),
+    ("no_pallas_mlp", {"pallas.mlp": "False"}),
     ("no_lpips", {"train.lossweights.lpips": "0.0",
                   "train.lossweights.mse": "1.0"}),
     ("no_remat", {"train.remat": "False"}),
-    ("warp_exact", {"warp.mode": "'exact'"}),
-    ("warp_fused_unpacked", {"warp.packed": "False"}),
     ("samples_64", {"N_samples": "64"}),
+    ("samples_4", {"N_samples": "4"}),
+    ("grid_24", {"warp.grid_size": "24"}),
+    ("bwd_blk_1024", {"pallas.mlp_block_bwd": "1024"}),
+    ("bwd_blk_256", {"pallas.mlp_block_bwd": "256"}),
     ("f32", {"dtype": "'float32'"}),
 ]
 

@@ -361,8 +361,10 @@ def default_config() -> CN:
         #   mlp: fused embed+non-rigid+canonical MLP query (ops/pallas_mlp.py),
         #        active on TPU for kernel-eligible configs (default model
         #        family); mlp_block / mlp_block_bwd tune the sample block
+        #   resample: all-bone obs-grid weight resample in one VMEM kernel
         "pallas": {"composite": False, "mlp": True, "mlp_interpret": False,
-                   "mlp_block": 2048, "mlp_block_bwd": 512},
+                   "mlp_block": 2048, "mlp_block_bwd": 512,
+                   "resample": True},
         "warp": {"mode": "fused", "grid_size": 48, "packed": True,
                  "include_bone_weights": False, "bbox_margin": 0.05},
     })

@@ -384,11 +384,16 @@ class HumanNeRF:
             need_bw = (cfg.warp.include_bone_weights
                        or cfg.condition_code.type != "global"
                        or cfg.rgb_history.last_num > 0)
+            use_pallas_rs = (cfg.get_path("pallas.resample", True)
+                             and (jax.default_backend() == "tpu"
+                                  or cfg.get_path("pallas.mlp_interpret",
+                                                  False)))
             U = build_fused_volume(
                 mweights[:-1], scale_Rs, Ts,
                 frame["cnl_bbox_min_xyz"], frame["cnl_bbox_scale_xyz"],
                 obs_min, obs_max, cfg.warp.grid_size,
-                include_bone_weights=need_bw, dtype=self.compute_dtype)
+                include_bone_weights=need_bw, dtype=self.compute_dtype,
+                pallas_resample=use_pallas_rs)
             if cfg.warp.get("packed", True):
                 ctx["packed_volume"] = build_packed_volume(U)
             else:

@@ -55,7 +55,7 @@ def _load():
         lib.composite_background.argtypes = [
             ctypes.c_int64, np.ctypeslib.ndpointer(np.float32),
             np.ctypeslib.ndpointer(np.float32),
-            np.ctypeslib.ndpointer(np.float64 if False else np.float32)]
+            np.ctypeslib.ndpointer(np.float32)]
         _lib = lib
     except OSError:
         _lib = None

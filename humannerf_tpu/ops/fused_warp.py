@@ -93,7 +93,8 @@ def build_fused_volume(motion_weights: jnp.ndarray,
                        cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
                        obs_min, obs_max, grid_size: int,
                        include_bone_weights: bool = False,
-                       dtype=jnp.bfloat16):
+                       dtype=jnp.bfloat16,
+                       pallas_resample: bool = False):
     """Fuse all bones into one observation-space volume.
 
     Returns U of shape (G, G, G, C) with channels
@@ -102,17 +103,29 @@ def build_fused_volume(motion_weights: jnp.ndarray,
       [12]   sum_k w_k            (fg likelihood)
       [13:16] zero padding  (+ [16:16+K] per-bone w_k when requested,
       padded to a lane multiple)
+
+    pallas_resample=True keeps this einsum forward but swaps the einsum
+    transpose for a Pallas backward kernel (ops/pallas_resample.py) --
+    XLA's scatter-shaped volume-cotangent program is HBM-bound
+    (~47 ms vs 13.5 ms at G=48 on v5e).
     """
     K = motion_weights.shape[0]
-    grid = make_obs_grid(obs_min, obs_max, grid_size)     # (G^3, 3)
-    # per-bone warped positions of every grid point, then MXU resample
-    ws = []
-    for k in range(K):  # static 24-way loop; each iteration is dense einsums
-        pos = grid @ motion_scale_Rs[k].T + motion_Ts[k]
-        ws.append(resample_bone_weights(motion_weights[k], pos,
-                                        cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
-                                        dtype))
-    w = jnp.stack(ws, axis=-1)                            # (G^3, K)
+    if pallas_resample:
+        from humannerf_tpu.ops.pallas_resample import resample_all_bones
+        w = resample_all_bones(
+            motion_weights, motion_scale_Rs, motion_Ts,
+            cnl_bbox_min_xyz, cnl_bbox_scale_xyz, obs_min, obs_max,
+            grid_size, dtype=dtype)                       # (G^3, K)
+    else:
+        grid = make_obs_grid(obs_min, obs_max, grid_size)  # (G^3, 3)
+        # per-bone warped positions of every grid point, then MXU resample
+        ws = []
+        for k in range(K):  # static 24-way loop of dense einsums
+            pos = grid @ motion_scale_Rs[k].T + motion_Ts[k]
+            ws.append(resample_bone_weights(
+                motion_weights[k], pos, cnl_bbox_min_xyz,
+                cnl_bbox_scale_xyz, dtype))
+        w = jnp.stack(ws, axis=-1)                        # (G^3, K)
     A_flat = motion_scale_Rs.reshape(K, 9)
     feats = [w @ A_flat, w @ motion_Ts,
              jnp.sum(w, axis=-1, keepdims=True),

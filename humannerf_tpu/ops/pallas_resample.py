@@ -1,0 +1,274 @@
+"""Pallas TPU backward kernel for the all-bone obs-grid weight resample.
+
+The per-frame fused-volume build (ops.fused_warp.build_fused_volume)
+trilinearly samples 24 canonical (32, 32, 32) weight fields at all G^3
+observation-grid points. Under `jax.grad`, XLA's transpose of that einsum
+chain is HBM-bound -- the volume cotangent is a scatter-shaped contraction
+through (N, D, H)-sized intermediates (~47 ms at G=48 on v5e, paid every
+training step).
+
+This module keeps XLA's *forward* (5.9 ms -- the bf16 einsums fuse well)
+and replaces only the *backward* with a Pallas kernel (13.5 ms): per
+point-block it recomputes the forward in VMEM (all 24 volumes fit
+on-chip, 1.5 MB bf16; the regular obs grid is rebuilt from iota) and
+accumulates d(vols) (K, D, H*W) plus per-bone affine grads dA (K, 3, 3),
+dT (K, 3) in VMEM-resident accumulators across the sequential grid.
+Gradients w.r.t. the (data-derived) bounding boxes are defined as zero.
+
+The y/x contractions use iota-built replication matrices
+(R_y[h, h*W+w] = 1, R_x[w', h*W+w] = (w == w')) so no 3D reshapes are
+needed; interpolation semantics match `_axis_phi` exactly (torch
+grid_sample, zeros padding, align_corners=True).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _phi(f, size):
+    """Fractional coords (B, 1) -> 2-hot interp matrix (B, size).
+
+    Matches fused_warp._axis_phi (zeros-padding validity folded in).
+    """
+    i0 = jnp.floor(f)
+    w = f - i0
+    v0 = ((i0 >= 0) & (i0 <= size - 1)).astype(jnp.float32)
+    v1 = ((i0 + 1 >= 0) & (i0 + 1 <= size - 1)).astype(jnp.float32)
+    i0c = jnp.clip(i0, 0, size - 1)
+    i1c = jnp.clip(i0 + 1, 0, size - 1)
+    B = f.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, size), 1
+                                    ).astype(jnp.float32)
+    h0 = (cols == i0c).astype(jnp.float32)
+    h1 = (cols == i1c).astype(jnp.float32)
+    return h0 * ((1.0 - w) * v0) + h1 * (w * v1), h0, h1, w, v0, v1
+
+
+def _rep_mats(H, W):
+    """Iota-built replication matrices for the y/x contractions."""
+    ry_r = jax.lax.broadcasted_iota(jnp.int32, (H, H * W), 0)
+    ry_c = jax.lax.broadcasted_iota(jnp.int32, (H, H * W), 1)
+    Ry = (ry_c // W == ry_r).astype(jnp.float32)       # (H, H*W)
+    rx_r = jax.lax.broadcasted_iota(jnp.int32, (W, H * W), 0)
+    rx_c = jax.lax.broadcasted_iota(jnp.int32, (W, H * W), 1)
+    Rx = (rx_c % W == rx_r).astype(jnp.float32)        # (W, H*W)
+    return Ry, Rx
+
+
+def _grid_cols(pi, blk, G, bbox_ref):
+    """Block-local obs-grid positions as three (B, 1) columns.
+
+    Flat layout matches fused_warp.make_obs_grid: id = (z*G + y)*G + x,
+    pos = (xs[x], ys[y], zs[z]) over linspace(obs_min, obs_max, G).
+    """
+    ids = pi * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    zi = (ids // (G * G)).astype(jnp.float32)
+    yi = ((ids // G) % G).astype(jnp.float32)
+    xi = (ids % G).astype(jnp.float32)
+    def lin(d, t):
+        lo = bbox_ref[0, 6 + d]
+        step = bbox_ref[0, 9 + d]
+        return lo + t * step
+    return lin(0, xi), lin(1, yi), lin(2, zi)
+
+
+def _bone_coords(px, py, pz, aff_ref, bbox_ref, k, dims):
+    """Warp obs positions by bone k's affine, to fractional volume coords."""
+    D, H, W = dims
+    def a(i, j):
+        return aff_ref[k, 3 * i + j]
+    def t(i):
+        return aff_ref[k, 9 + i]
+    qx = px * a(0, 0) + py * a(0, 1) + pz * a(0, 2) + t(0)
+    qy = px * a(1, 0) + py * a(1, 1) + pz * a(1, 2) + t(1)
+    qz = px * a(2, 0) + py * a(2, 1) + pz * a(2, 2) + t(2)
+    # (q - cnl_min) * cnl_scale - 1 -> [-1, 1]; then to fractional index
+    def frac(q, d, size):
+        c = (q - bbox_ref[0, d]) * bbox_ref[0, 3 + d] - 1.0
+        return (c + 1.0) * 0.5 * (size - 1)
+    return (frac(qx, 0, W), frac(qy, 1, H), frac(qz, 2, D),
+            (qx, qy, qz))
+
+
+def _bwd_kernel(G, dims, dtype, vols_ref, aff_ref, bbox_ref, g_ref,
+                dvols_ref, dA_ref, dT_ref):
+    D, H, W = dims
+    blk = g_ref.shape[0]
+    K = vols_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        dvols_ref[:] = jnp.zeros_like(dvols_ref)
+        dA_ref[:] = jnp.zeros_like(dA_ref)
+        dT_ref[:] = jnp.zeros_like(dT_ref)
+
+    px, py, pz = _grid_cols(pl.program_id(0), blk, G, bbox_ref)
+    Ry, Rx = _rep_mats(H, W)
+    prec = _HI if dtype == jnp.float32 else None
+    g = g_ref[:]
+    for k in range(K):
+        fx, fy, fz, _q = _bone_coords(px, py, pz, aff_ref, bbox_ref, k, dims)
+        phz, hz0, hz1, wz, vz0, vz1 = _phi(fz, D)
+        phy, hy0, hy1, wy, vy0, vy1 = _phi(fy, H)
+        phx, hx0, hx1, wx, vx0, vx1 = _phi(fx, W)
+        volk = vols_ref[k].astype(dtype)
+        t1 = jnp.dot(phz.astype(dtype), volk, precision=prec,
+                     preferred_element_type=jnp.float32)
+        yrep = jnp.dot(phy, Ry, preferred_element_type=jnp.float32)
+        xrep = jnp.dot(phx, Rx, preferred_element_type=jnp.float32)
+
+        gk = g[:, k:k + 1]                                  # (B, 1)
+        dt1 = gk * yrep * xrep
+        dvols_ref[k] += jax.lax.dot_general(
+            phz.astype(dtype), dt1.astype(dtype), (((0,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
+        dphz = jax.lax.dot_general(
+            dt1.astype(dtype), volk, (((1,), (1,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
+        dyrep = gk * t1 * xrep
+        dxrep = gk * t1 * yrep
+        dphy = jax.lax.dot_general(dyrep, Ry, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dphx = jax.lax.dot_general(dxrep, Rx, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+        # d(phi)/d(frac): phi = h0*(1-w)*v0 + h1*w*v1 -> h1*v1 - h0*v0
+        dfz = jnp.sum(dphz * (hz1 * vz1 - hz0 * vz0), axis=1, keepdims=True)
+        dfy = jnp.sum(dphy * (hy1 * vy1 - hy0 * vy0), axis=1, keepdims=True)
+        dfx = jnp.sum(dphx * (hx1 * vx1 - hx0 * vx0), axis=1, keepdims=True)
+        # frac = ((q - cnl_min)*scale)/2 * (size-1) -> dq = df * scale/2*(s-1)
+        dqx = dfx * (bbox_ref[0, 3] * 0.5 * (W - 1))
+        dqy = dfy * (bbox_ref[0, 4] * 0.5 * (H - 1))
+        dqz = dfz * (bbox_ref[0, 5] * 0.5 * (D - 1))
+        # q = A p + t (A row-major in aff[:9], t in aff[9:12])
+        dq = jnp.concatenate([dqx, dqy, dqz], axis=-1)       # (B, 3)
+        p = jnp.concatenate([px, py, pz], axis=-1)           # (B, 3)
+        dA = jax.lax.dot_general(dq, p, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (3,3)
+        dT = jnp.sum(dq, axis=0, keepdims=True)              # (1, 3)
+        dA_ref[k] += dA
+        dT_ref[k:k + 1, :] += dT
+
+
+def _const_spec(shape, ms=pltpu.VMEM):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=ms)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("G", "dims", "dtype_str", "blk",
+                                    "interpret"))
+def _bwd_call(vols2d, aff, bbox, g, *, G, dims, dtype_str, blk, interpret):
+    K = vols2d.shape[0]
+    N = G * G * G
+    npad = -(-N // blk) * blk
+    if npad != N:
+        g = jnp.concatenate(
+            [g, jnp.zeros((npad - N, K), g.dtype)], axis=0)
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    kern = functools.partial(_bwd_kernel, G, dims, dtype)
+    dvols, dA, dT = pl.pallas_call(
+        kern, grid=(npad // blk,),
+        in_specs=[_const_spec(vols2d.shape),
+                  _const_spec(aff.shape, pltpu.SMEM),
+                  _const_spec(bbox.shape, pltpu.SMEM),
+                  pl.BlockSpec((blk, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(_const_spec(vols2d.shape), _const_spec((K, 3, 3)),
+                   _const_spec((K, 3))),
+        out_shape=(jax.ShapeDtypeStruct(vols2d.shape, jnp.float32),
+                   jax.ShapeDtypeStruct((K, 3, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((K, 3), jnp.float32)),
+        interpret=interpret,
+    )(vols2d, aff, bbox, g)
+    return dvols, dA, dT
+
+
+def _einsum_forward(vols2d, aff, bbox, G, dims, dtype_str):
+    """Reference einsum forward (ops.fused_warp) on the packed operands.
+
+    Used as the custom_vjp primal: measured on v5e at G=48/K=24, XLA's
+    fused einsum forward (5.9 ms) beats the Pallas forward kernel
+    (14.6 ms) -- its (N, D, H) intermediate stays bf16 and fuses -- while
+    the Pallas BACKWARD (13.5 ms) beats XLA's transpose program (47 ms),
+    whose scatter-style volume grad does not fuse. Hybrid wins both ways.
+    """
+    from humannerf_tpu.ops.fused_warp import (make_obs_grid,
+                                              resample_bone_weights)
+    K = vols2d.shape[0]
+    D, H, W = dims
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    obs_min = bbox[0, 6:9]
+    step = bbox[0, 9:12]
+    obs_max = obs_min + step * (G - 1)
+    grid = make_obs_grid(obs_min, obs_max, G)
+    Rs = aff[:, :9].reshape(K, 3, 3)
+    Ts = aff[:, 9:12]
+    cnl_min, cnl_scale = bbox[0, 0:3], bbox[0, 3:6]
+    ws = []
+    for k in range(K):
+        pos = grid @ Rs[k].T + Ts[k]
+        ws.append(resample_bone_weights(vols2d[k].reshape(D, H, W), pos,
+                                        cnl_min, cnl_scale, dtype))
+    return jnp.stack(ws, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _resample_op(vols2d, aff, bbox, G, dims, dtype_str, blk):
+    return _einsum_forward(vols2d, aff, bbox, G, dims, dtype_str)
+
+
+def _resample_fwd(vols2d, aff, bbox, G, dims, dtype_str, blk):
+    out = _resample_op(vols2d, aff, bbox, G, dims, dtype_str, blk)
+    return out, (vols2d, aff, bbox)
+
+
+def _resample_bwd(G, dims, dtype_str, blk, res, g):
+    vols2d, aff, bbox = res
+    interpret = jax.default_backend() != "tpu"
+    dvols, dA, dT = _bwd_call(vols2d, aff, bbox, g, G=G, dims=dims,
+                              dtype_str=dtype_str, blk=blk,
+                              interpret=interpret)
+    K = vols2d.shape[0]
+    daff = jnp.concatenate(
+        [dA.reshape(K, 9), dT, jnp.zeros((K, 4), jnp.float32)], axis=-1)
+    # bounding boxes are data-derived (non-trainable): zero grad
+    return (dvols.astype(vols2d.dtype), daff.astype(aff.dtype),
+            jnp.zeros_like(bbox))
+
+
+_resample_op.defvjp(_resample_fwd, _resample_bwd)
+
+
+def resample_all_bones(motion_weights, motion_scale_Rs, motion_Ts,
+                       cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
+                       obs_min, obs_max, grid_size: int,
+                       dtype=jnp.bfloat16, blk: int = 512) -> jnp.ndarray:
+    """All-bone obs-grid resample -> (G^3, K) weights.
+
+    Drop-in for the fused_warp per-bone loop: identical forward (it IS the
+    einsum forward), Pallas-accelerated backward via custom_vjp.
+    """
+    K, D, H, W = motion_weights.shape
+    vols2d = motion_weights.reshape(K, D, H * W)
+    aff = jnp.concatenate(
+        [motion_scale_Rs.reshape(K, 9), motion_Ts.reshape(K, 3),
+         jnp.zeros((K, 4), jnp.float32)], axis=-1)          # (K, 16)
+    step = (obs_max - obs_min) / (grid_size - 1)
+    bbox = jnp.concatenate([
+        jnp.asarray(cnl_bbox_min_xyz, jnp.float32).reshape(3),
+        jnp.asarray(cnl_bbox_scale_xyz, jnp.float32).reshape(3),
+        jnp.asarray(obs_min, jnp.float32).reshape(3),
+        jnp.asarray(step, jnp.float32).reshape(3),
+        jnp.zeros(4, jnp.float32)]).reshape(1, 16)
+    dtype_str = "bfloat16" if dtype == jnp.bfloat16 else "float32"
+    return _resample_op(vols2d, aff, bbox, grid_size, (D, H, W), dtype_str,
+                        blk)

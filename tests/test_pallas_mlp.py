@@ -201,6 +201,46 @@ def test_train_grads_end_to_end_parity():
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_mesh_sharded_train_step_with_pallas():
+    """The pallas path must compose with the ray-sharded multi-chip step."""
+    import sys
+    import tempfile
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _small_cfg, _tiny_train_overrides, \
+        _tiny_train_batch
+    from humannerf_tpu.parallel import mesh as mesh_lib
+    from humannerf_tpu.train.trainer import Trainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    cfg = _small_cfg(**_tiny_train_overrides())
+    cfg.pallas.mlp_interpret = True
+    cfg.logdir = tempfile.mkdtemp()
+    cfg.resume = False
+    mesh = mesh_lib.make_mesh(8)
+    trainer = Trainer(cfg, mesh=mesh, log=lambda *a: None)
+    assert trainer.net.pallas_mlp_plans[0] is not None
+    db = mesh_lib.put_batch(_tiny_train_batch(cfg), mesh)
+    _p, _o, loss, _ = trainer._train_step(
+        trainer.params, trainer.opt_state, db, jax.random.key(0),
+        jnp.asarray(1.0))
+    assert np.isfinite(float(loss))
+
+    # frame-DP layout: the pallas op must also batch under vmap
+    cfg2 = _small_cfg(**_tiny_train_overrides())
+    cfg2.pallas.mlp_interpret = True
+    cfg2.train.frames_per_step = 8
+    cfg2.logdir = tempfile.mkdtemp()
+    cfg2.resume = False
+    trainer2 = Trainer(cfg2, mesh=mesh, log=lambda *a: None)
+    frames = [_tiny_train_batch(cfg2, seed=i) for i in range(8)]
+    db2 = mesh_lib.put_frame_batch(mesh_lib.collate_frames(frames), mesh)
+    _p, _o, loss2, _ = trainer2._train_step(
+        trainer2.params, trainer2.opt_state, db2, jax.random.key(0),
+        jnp.asarray(1.0))
+    assert np.isfinite(float(loss2))
+
+
 def test_plan_from_cfg_eligibility():
     from humannerf_tpu.config import make_cfg
     cfg = make_cfg(opts=[])
