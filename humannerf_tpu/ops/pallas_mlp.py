@@ -256,6 +256,9 @@ def _forward_pass(plan: Plan, x, hw, kw, keep_acts: bool):
     """Shared fwd math on an unpacked (B, 3) block.
 
     Returns (raw, acts); acts populated when keep_acts (backward rerun).
+    Stored activations are kept in the compute dtype -- they only feed
+    compute-dtype matmuls (dW, relu masks) in the backward, and the
+    halved VMEM footprint admits a 1024-sample backward block.
     """
     dt = plan.compute_dtype
     it = iter(kw)
@@ -266,10 +269,11 @@ def _forward_pass(plan: Plan, x, hw, kw, keep_acts: bool):
         s, fcol = _scaled_coords(x, plan.nr_multires)
         e = jnp.concatenate([jnp.sin(s), jnp.cos(s)], axis=-1) * hw
         if keep_acts:
-            acts["nr_e"], acts["nr_s"], acts["nr_fcol"] = e, s, fcol
+            acts["nr_e"] = e.astype(dt)
+            acts["nr_s"], acts["nr_fcol"] = s, fcol
         h = jax.nn.relu(_dot(e, next(it), dt) + next(it))
         if keep_acts:
-            acts["nr"].append(h)
+            acts["nr"].append(h.astype(dt))
         for i in range(1, plan.nr_depth):
             if i in plan.nr_skips:
                 w_h, w_e, b = next(it), next(it), next(it)
@@ -277,16 +281,17 @@ def _forward_pass(plan: Plan, x, hw, kw, keep_acts: bool):
             else:
                 h = jax.nn.relu(_dot(h, next(it), dt) + next(it))
             if keep_acts:
-                acts["nr"].append(h)
+                acts["nr"].append(h.astype(dt))
         trans = _dot(h, next(it), dt) + next(it)
         xyz = x + trans
     s2, fcol2 = _scaled_coords(xyz, plan.cnl_multires)
     embed = jnp.concatenate([xyz, jnp.sin(s2), jnp.cos(s2)], axis=-1)
     if keep_acts:
-        acts["embed"], acts["s2"], acts["fcol2"] = embed, s2, fcol2
+        acts["embed"] = embed.astype(dt)
+        acts["s2"], acts["fcol2"] = s2, fcol2
     h = jax.nn.relu(_dot(embed, next(it), dt) + next(it))
     if keep_acts:
-        acts["cnl"].append(h)
+        acts["cnl"].append(h.astype(dt))
     for li in range(1, plan.cnl_depth):
         if li in plan.cnl_skips:
             w_h, w_e, b = next(it), next(it), next(it)
@@ -294,7 +299,7 @@ def _forward_pass(plan: Plan, x, hw, kw, keep_acts: bool):
         else:
             h = jax.nn.relu(_dot(h, next(it), dt) + next(it))
         if keep_acts:
-            acts["cnl"].append(h)
+            acts["cnl"].append(h.astype(dt))
     raw = _dot(h, next(it), dt) + next(it)
     return raw, acts
 
@@ -346,9 +351,9 @@ def _bwd_kernel(plan: Plan, xp_ref, hw_ref, g_ref, *rest):
     w_out, _b = take_w(2)
     acc_dw([_dot_dw(acts["cnl"][-1], g, dt), jnp.sum(g, axis=0)])
     dh = _dot_dx(g, w_out, dt)
-    dembed = jnp.zeros_like(acts["embed"])
+    dembed = jnp.zeros(acts["embed"].shape, jnp.float32)
     for li in range(plan.cnl_depth - 1, 0, -1):
-        dy = dh * (acts["cnl"][li] > 0)
+        dy = dh * (acts["cnl"][li].astype(jnp.float32) > 0)
         h_prev = acts["cnl"][li - 1]
         if li in plan.cnl_skips:
             w_h, w_e, _b = take_w(3)
@@ -360,7 +365,7 @@ def _bwd_kernel(plan: Plan, xp_ref, hw_ref, g_ref, *rest):
             w, _b = take_w(2)
             acc_dw([_dot_dw(h_prev, dy, dt), jnp.sum(dy, axis=0)])
             dh = _dot_dx(dy, w, dt)
-    dy0 = dh * (acts["cnl"][0] > 0)
+    dy0 = dh * (acts["cnl"][0].astype(jnp.float32) > 0)
     w0, _b = take_w(2)
     acc_dw([_dot_dw(acts["embed"], dy0, dt), jnp.sum(dy0, axis=0)])
     dembed += _dot_dx(dy0, w0, dt)
@@ -381,9 +386,9 @@ def _bwd_kernel(plan: Plan, xp_ref, hw_ref, g_ref, *rest):
     acc_dw([_dot_dw(acts["nr"][-1], dxyz, dt), jnp.sum(dxyz, axis=0)])
     dh = _dot_dx(dxyz, w_out, dt)
     e = acts["nr_e"]
-    de = jnp.zeros_like(e)
+    de = jnp.zeros(e.shape, jnp.float32)
     for i in range(plan.nr_depth - 1, 0, -1):
-        dy = dh * (acts["nr"][i] > 0)
+        dy = dh * (acts["nr"][i].astype(jnp.float32) > 0)
         h_prev = acts["nr"][i - 1]
         if i in plan.nr_skips:
             w_h, w_e, _b = take_w(3)
@@ -395,7 +400,7 @@ def _bwd_kernel(plan: Plan, xp_ref, hw_ref, g_ref, *rest):
             w, _b = take_w(2)
             acc_dw([_dot_dw(h_prev, dy, dt), jnp.sum(dy, axis=0)])
             dh = _dot_dx(dy, w, dt)
-    dy0 = dh * (acts["nr"][0] > 0)
+    dy0 = dh * (acts["nr"][0].astype(jnp.float32) > 0)
     w0, _b = take_w(2)
     acc_dw([_dot_dw(e, dy0, dt), jnp.sum(dy0, axis=0)])
     de += _dot_dx(dy0, w0, dt)
@@ -576,8 +581,10 @@ def query_points_fused(plan: Plan, params, x_skel, hann_alpha,
     hw = None if plan.skip_nr else hann_input(hann_alpha, plan.nr_multires)
     N = x_skel.shape[0]
     blk = blk_fwd if N >= blk_fwd else max(LANES, -(-N // LANES) * LANES)
-    blk_b = min(blk_bwd, blk)
     pad = (-N) % blk
+    blk_b = min(blk_bwd, blk)
+    while (N + pad) % blk_b:      # bwd grid must tile the padded N exactly
+        blk_b //= 2
     if pad:
         x_skel = jnp.concatenate(
             [x_skel, jnp.zeros((pad, 3), x_skel.dtype)], axis=0)
