@@ -583,6 +583,11 @@ def query_points_fused(plan: Plan, params, x_skel, hann_alpha,
     blk = blk_fwd if N >= blk_fwd else max(LANES, -(-N // LANES) * LANES)
     pad = (-N) % blk
     blk_b = min(blk_bwd, blk)
+    if plan.compute_dtype == jnp.float32:
+        # f32 activation storage doubles the backward VMEM footprint
+        # (measured scoped vmem: 24 MB at blk 512, 17.8 MB at 256 -- the
+        # 16 MB limit needs a 128 block)
+        blk_b = min(blk_b, 128)
     while (N + pad) % blk_b:      # bwd grid must tile the padded N exactly
         blk_b //= 2
     if pad:

@@ -258,6 +258,10 @@ def resample_all_bones(motion_weights, motion_scale_Rs, motion_Ts,
     einsum forward), Pallas-accelerated backward via custom_vjp.
     """
     K, D, H, W = motion_weights.shape
+    if dtype == jnp.float32:
+        # f32 volumes + f32 intermediates double the backward kernel's
+        # VMEM footprint (22.3 MB measured at blk 512)
+        blk = min(blk, 256)
     vols2d = motion_weights.reshape(K, D, H * W)
     aff = jnp.concatenate(
         [motion_scale_Rs.reshape(K, 9), motion_Ts.reshape(K, 3),
