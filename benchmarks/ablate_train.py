@@ -63,28 +63,20 @@ def time_config(name, extra, iters):
     batch["head_id"] = jnp.asarray(0, jnp.int32)
     db = mesh_lib.put_batch(batch, trainer.mesh)
 
-    def step(i):
+    state = {"i": 0}
+
+    def step():
+        state["i"] += 1
         trainer.params, trainer.opt_state, loss, _ = trainer._train_step(
-            trainer.params, trainer.opt_state, db, jax.random.key(i),
-            jnp.asarray(float(i + 1)))
+            trainer.params, trainer.opt_state, db,
+            jax.random.key(state["i"]), jnp.asarray(float(state["i"])))
         return loss
 
     t0 = time.perf_counter()
-    float(step(0))
+    float(step())
     compile_s = time.perf_counter() - t0
-    float(step(1))
-    # amortized: K chained dispatches + one fetch, minus one dispatch+fetch
-    # (the axon tunnel costs ~30 ms per host sync -- see bench._amortized_time)
-    t0 = time.perf_counter()
-    loss = None
-    for i in range(iters):
-        loss = step(i + 2)
-    float(loss)
-    t_total = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(step(iters + 2))
-    t_one = time.perf_counter() - t0
-    dt = max(t_total - t_one, 1e-9) / max(iters - 1, 1) * 1e3
+    from bench import _amortized_time
+    dt = _amortized_time(step, iters, warmup=1) * 1e3
     print(f"{name:22s} {dt:8.1f} ms   (compile {compile_s:.0f}s)",
           flush=True)
     return dt

@@ -15,28 +15,10 @@ sys.path.insert(0, ".")
 
 
 def median_time(fn, iters=10, warmup=2):
-    """Amortized per-call time: fn must return a device array (no fetch).
-
-    K async dispatches + 1 fetch, minus 1 dispatch + 1 fetch, over K-1 --
-    removes the ~30 ms axon tunnel round-trip from per-step numbers.
-    """
-    import numpy as _np
-
-    def fetch(x):
-        return float(_np.asarray(x).ravel()[0])
-
-    for _ in range(warmup):
-        fetch(fn())
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn()
-    fetch(out)
-    t_total = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    fetch(fn())
-    t_one = time.perf_counter() - t0
-    return max(t_total - t_one, 1e-9) / max(iters - 1, 1)
+    """Amortized per-call time (bench._amortized_time: K async dispatches +
+    one fetch, minus the ~30 ms axon sync). fn returns a device array."""
+    from bench import _amortized_time
+    return _amortized_time(fn, max(iters, 2), warmup)
 
 
 def main():

@@ -105,16 +105,16 @@ def input_encoder_output_dim(params) -> int:
 
 
 def apply_input_encoder(params, pos_embed, condition_code, weights,
-                        gate_weight=1.0, dtype=jnp.float32):
+                        gate_weight=1.0, dtype=jnp.float32, rng=None):
     """pos_embed (N, E); condition_code (T, 23, Dp); weights (N, 24)
     -> (N, E + S) fused canonical-MLP input (input_encoder.py:104-123)."""
     meta = params["meta"]
     if meta.get("version") == "v2":
         return _apply_input_encoder_v2(params, pos_embed, condition_code,
-                                       weights, gate_weight, dtype)
+                                       weights, gate_weight, dtype, rng)
     cc = jnp.swapaxes(condition_code, 0, 1)               # (23, T, Dp)
     if meta["temporal"] == "selfattention":
-        tcode = apply_selfattention(params["temporal"], cc, dtype)  # (23, D)
+        tcode = apply_selfattention(params["temporal"], cc, dtype, rng=rng)  # (23, D)
     elif meta["temporal"] == "mlp":
         tcode = apply_mlpseq(params["temporal"], cc, dtype)
     else:
@@ -134,7 +134,7 @@ def apply_input_encoder(params, pos_embed, condition_code, weights,
 
 
 def _apply_input_encoder_v2(params, pos_embed, condition_code, weights,
-                            gate_weight, dtype):
+                            gate_weight, dtype, rng=None):
     """v2: spatial codes computed once PER PART via the PART2JOINTS mask
     (25 codes incl. a zero background row), each sample indexing its
     argmax-bone part code (input_encoder_v2.py:15-43,104-126). The
@@ -143,7 +143,7 @@ def _apply_input_encoder_v2(params, pos_embed, condition_code, weights,
     meta = params["meta"]
     cc = jnp.swapaxes(condition_code, 0, 1)               # (23, T, Dp)
     if meta["temporal"] == "selfattention":
-        tcode = apply_selfattention(params["temporal"], cc, dtype)  # (23, D)
+        tcode = apply_selfattention(params["temporal"], cc, dtype, rng=rng)  # (23, D)
     elif meta["temporal"] == "mlp":
         tcode = apply_mlpseq(params["temporal"], cc, dtype)
     else:

@@ -102,6 +102,10 @@ class HumanNeRF:
             self.dir_embed_dim = 0
         self.compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" \
             else jnp.float32
+        # set by Trainer/EvalRenderer on a >1-device mesh with ray-sharded
+        # batches: Pallas calls are not GSPMD-partitionable, so the MLP
+        # kernel must run inside a shard_map manual region over this mesh
+        self.data_mesh = None
         # fused Pallas MLP path (ops/pallas_mlp.py): plans are None when the
         # config needs features the kernel doesn't cover -- jnp path then
         self.pallas_mlp_plans = (None, None)
@@ -425,7 +429,7 @@ class HumanNeRF:
             ctx["history_img_hw"], dtype=self.compute_dtype)
 
     def _apply_cnl(self, params, xyz, ctx, dir_embed, bw_weights=None,
-                   rgb_dyn=None):
+                   rgb_dyn=None, dropout_rng=None):
         cfg = self.cfg
         c = cfg.canonical_mlp
         pos_embed = jax.lax.optimization_barrier(
@@ -453,7 +457,7 @@ class HumanNeRF:
                 params["input_encoder"], pos_embed,
                 ctx["condition_code_cmlp_raw"], bw_weights,
                 gate_weight=ctx.get("cnl_gate", 1.0),
-                dtype=self.compute_dtype)
+                dtype=self.compute_dtype, rng=dropout_rng)
             if extra_input is not None:
                 first_input = jnp.concatenate([first_input, extra_input],
                                               axis=-1)
@@ -532,7 +536,9 @@ class HumanNeRF:
             raws = []
             for h in range(K):
                 xyz_h = xyz[:, h] if (self.nr_multi and xyz.ndim == 3) else xyz
-                raw_h = self._apply_cnl(params, xyz_h, ctx, dir_embed, bw_weights, rgb_dyn)
+                raw_h = self._apply_cnl(params, xyz_h, ctx, dir_embed,
+                                        bw_weights, rgb_dyn,
+                                        dropout_rng=dropout_rng)
                 if self.cnl_multi:
                     raw_h = raw_h[:, 4 * h:4 * (h + 1)]
                 raws.append(raw_h)
@@ -542,7 +548,8 @@ class HumanNeRF:
                 offsets = jnp.repeat(offsets[:, None], K, axis=1)
             return raw, xyz, offsets
 
-        raw = self._apply_cnl(params, xyz, ctx, dir_embed, bw_weights, rgb_dyn)
+        raw = self._apply_cnl(params, xyz, ctx, dir_embed, bw_weights,
+                              rgb_dyn, dropout_rng=dropout_rng)
         if self.cnl_multi:
             raw = raw.reshape(raw.shape[0], K, 4)
             raw = _select_head(raw, head_id) if head_mode == "select" \
@@ -628,10 +635,31 @@ class HumanNeRF:
             from humannerf_tpu.ops import pallas_mlp
             cc = None if cfg.ignore_non_rigid_motions \
                 else ctx["condition_code"]
-            raw = pallas_mlp.query_points_fused(
-                plan, params, x_skel, ctx["hann_alpha"], cc,
-                blk_fwd=int(cfg.get_path("pallas.mlp_block", 2048)),
-                blk_bwd=int(cfg.get_path("pallas.mlp_block_bwd", 512)))
+            blkf = int(cfg.get_path("pallas.mlp_block", 2048))
+            blkb = int(cfg.get_path("pallas.mlp_block_bwd", 512))
+            sub = {k: params[k] for k in ("non_rigid_mlp", "cnl_mlp")
+                   if k in params}
+
+            def fq(x, p, alpha, c):
+                return pallas_mlp.query_points_fused(
+                    plan, p, x, alpha, c, blk_fwd=blkf, blk_bwd=blkb)
+
+            mesh = self.data_mesh
+            if mesh is not None and mesh.devices.size > 1:
+                # manual region: shards the sample dim over 'data', keeps
+                # params/condition replicated -- GSPMD cannot partition a
+                # pallas_call on its own
+                from jax.sharding import PartitionSpec as P
+                sm_kw = dict(mesh=mesh,
+                             in_specs=(P("data"), P(), P(), P()),
+                             out_specs=P("data"))
+                try:
+                    from jax import shard_map
+                    fq = shard_map(fq, check_vma=False, **sm_kw)
+                except (ImportError, TypeError):   # older jax API
+                    from jax.experimental.shard_map import shard_map
+                    fq = shard_map(fq, check_rep=False, **sm_kw)
+            raw = fq(x_skel, sub, ctx["hann_alpha"], cc)
             xyz = offsets = None   # full_outputs excluded above
         else:
             def query(p, c, x, bw, de):

@@ -575,6 +575,10 @@ def query_points_fused(plan: Plan, params, x_skel, hann_alpha,
     x_skel (N, 3); hann_alpha: traced scalar (ignored when plan.skip_nr).
     Pads N to a block multiple internally.
     """
+    if blk_fwd % LANES or blk_bwd % LANES:
+        raise ValueError(
+            f"pallas.mlp_block / mlp_block_bwd must be multiples of "
+            f"{LANES}; got {blk_fwd}/{blk_bwd}")
     kw = make_kernel_weights(
         plan, params.get("non_rigid_mlp"), params["cnl_mlp"],
         condition_code)
@@ -588,8 +592,10 @@ def query_points_fused(plan: Plan, params, x_skel, hann_alpha,
         # (measured scoped vmem: 24 MB at blk 512, 17.8 MB at 256 -- the
         # 16 MB limit needs a 128 block)
         blk_b = min(blk_b, 128)
-    while (N + pad) % blk_b:      # bwd grid must tile the padded N exactly
-        blk_b //= 2
+    while (N + pad) % blk_b and blk_b > LANES:
+        blk_b //= 2               # bwd grid must tile the padded N exactly
+    if (N + pad) % blk_b:
+        blk_b = LANES             # N+pad is always a multiple of LANES
     if pad:
         x_skel = jnp.concatenate(
             [x_skel, jnp.zeros((pad, 3), x_skel.dtype)], axis=0)

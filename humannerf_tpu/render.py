@@ -60,11 +60,13 @@ def run(cfg, run_type: str):
         head_writers = [ImageWriter(out_dir + f"_h{h}", run_type)
                         for h in range(cfg.multihead.head_num)]
 
+    # one LPIPS net shared by every writer (per-head copies would load and
+    # jit K identical VGG trunks)
+    lpips_fn = make_lpips_metric_fn(init_lpips_params(cfg.lpips.weights)) \
+        if "lpips" in cfg.eval.metrics else None
+
     def _make_metrics(d):
-        kw = {}
-        if "lpips" in cfg.eval.metrics:
-            kw["lpips_fn"] = make_lpips_metric_fn(
-                init_lpips_params(cfg.lpips.weights))
+        kw = {"lpips_fn": lpips_fn} if lpips_fn is not None else {}
         return MetricsWriter(d, run_type,
                              dataset=cfg[run_type].get("dataset", "?"),
                              metrics=cfg.eval.metrics, **kw)

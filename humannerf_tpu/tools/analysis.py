@@ -239,10 +239,12 @@ def pairwise_distance_matrix(dump_path: str, out_path: str,
                              chunk_id: int = 0, chunk_n: int = 1, **kw):
     """Full (or row-sharded) distance matrix.
 
-    chunk_id/chunk_n reproduce the reference's strided sharding
-    (compute_distance_seg.py:62-70): shard k owns rows k, k+n, k+2n, ...
-    (the last shard also takes the strided tail). Shards write D with zeros
-    elsewhere; sum the shard outputs with `distance-merge`.
+    chunk_id/chunk_n shard rows strided: shard k owns rows k, k+n, k+2n...
+    Deliberate divergence from the reference (compute_distance_seg.py:65-67),
+    whose last shard ALSO appends every row after its final strided row --
+    rows other shards already own, so summing reference shards double-counts
+    them. Plain striding covers each row exactly once, making the
+    `distance-merge` summation exact.
     """
     with open(dump_path, "rb") as f:
         name2info = pickle.load(f)
@@ -404,11 +406,15 @@ def warp_images(dump_path: str, name0: str, name1: str, out_dir: str,
     err10[p0c[:, 0], p0c[:, 1]] = heat[close]
 
     def dist_heat(pos, idx, d):
+        # explicit painted-pixel mask (reference warp_img.py:166-171):
+        # zero-distance pairs must render JET(0), not vanish to background
         m = np.zeros([size, size, 3], np.float32)
+        painted = np.zeros([size, size, 1], bool)
         m[pos[idx, 0], pos[idx, 1], :] = np.clip(d, 0, max_dist)[:, None]
+        painted[pos[idx, 0], pos[idx, 1]] = True
         dm = cv2.applyColorMap((m / max_dist * 255).astype(np.uint8)[..., 0],
                                cv2.COLORMAP_JET)[:, :, ::-1]
-        return dm * (m > 0).astype(np.uint8)
+        return dm * painted.astype(np.uint8)
 
     d0_map = dist_heat(pa, i0, d01)
     d1_map = dist_heat(pb, i1, d01)

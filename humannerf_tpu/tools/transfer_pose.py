@@ -62,11 +62,19 @@ def transfer_pose(shape_cfg: dict, pose_cfg: dict,
 
     pose_annots = np.load(os.path.join(pose_dir, "annots.npy"),
                           allow_pickle=True).item()
+    shape_annots = np.load(os.path.join(shape_dir, "annots.npy"),
+                           allow_pickle=True).item()
     cam = load_zju_cameras(pose_annots, [view])[view]
 
+    # zip over both subjects' frame lists: iteration stops at the shorter
+    # sequence (reference transfer_pose.py:109 zips pose and shape paths;
+    # the shape subject's SMPL fits only exist for its own frame count)
     pose_img_paths = [fr["ims"][view] for fr in pose_annots["ims"]]
+    n_shape = len(shape_annots["ims"])
     if max_frames > 0:
         pose_img_paths = pose_img_paths[:max_frames]
+        n_shape = min(n_shape, max_frames)
+    pose_img_paths = pose_img_paths[:n_shape]
 
     out_dir = os.path.join(shape_cfg["output"]["dir"],
                            shape_cfg["output"].get("name", shape_subject))

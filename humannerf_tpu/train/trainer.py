@@ -61,6 +61,8 @@ class EvalRenderer:
         self.net = net
         self.chunk = chunk
         self.mesh = mesh          # optional: shard eval rays over the mesh
+        if mesh is not None and mesh.devices.size > 1:
+            net.data_mesh = mesh  # pallas MLP runs in a shard_map region
         self._jitted = {}
 
     def _fn(self, n_padded: int, full_outputs: bool, head_mode: str):
@@ -110,6 +112,17 @@ class Trainer:
         self.net = HumanNeRF(cfg)
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.rng = jax.random.key(cfg.random_seed)
+
+        if self.mesh.devices.size > 1:
+            if int(cfg.train.frames_per_step) == 1:
+                # ray-sharded batches: run the pallas MLP in a shard_map
+                # region over the data axis
+                self.net.data_mesh = self.mesh
+            elif jax.default_backend() == "tpu":
+                # frame-DP shards the vmapped frame axis; a pallas call
+                # inside that layout is not partitionable -- use the jnp
+                # path, which GSPMD handles
+                self.net.pallas_mlp_plans = (None, None)
 
         init_key, self.rng = jax.random.split(self.rng)
         self.params = self.net.init_params(init_key)

@@ -85,6 +85,29 @@ def test_nonrigid_variant_dropout():
     assert not np.allclose(np.asarray(ev["offsets"]), np.asarray(tr["offsets"]))
 
 
+def test_input_encoder_dropout_threading():
+    """The input encoder's selfattention temporal net must see dropout in
+    train mode (reference input_encoder.py builds it from SelfAttention,
+    dropout=0.2 in train())."""
+    from humannerf_tpu.models.input_encoder import (apply_input_encoder,
+                                                    init_input_encoder)
+    cfg = make_cfg()
+    kw = {k: v for k, v in cfg.canonical_mlp.input_encoder.items()
+          if k != "enable"}
+    kw["temporal_enc_method"] = "selfattention"
+    params = init_input_encoder(jax.random.key(0), input_ch=12,
+                                condition_code_dim=3, **kw)
+    rng = np.random.RandomState(0)
+    pos = jnp.asarray(rng.randn(8, 12).astype(np.float32))
+    cc = jnp.asarray(rng.randn(kw["seq_len"], 23, 3).astype(np.float32))
+    w = jnp.asarray(np.abs(rng.randn(8, 24)).astype(np.float32))
+    e1 = apply_input_encoder(params, pos, cc, w)
+    e2 = apply_input_encoder(params, pos, cc, w, rng=None)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    t1 = apply_input_encoder(params, pos, cc, w, rng=jax.random.key(1))
+    assert not np.allclose(np.asarray(t1), np.asarray(e1))
+
+
 def test_network_train_flag_controls_dropout():
     """render_rays(train=True) differs from eval for the SA variant, and
     train=True with the plain MLP (no dropout modules) is a no-op."""
