@@ -16,15 +16,17 @@ sys.path.insert(0, ".")
 
 ABLATIONS = [
     ("baseline", {}),
+    ("mlp_bwd_768", {"pallas.mlp_block_bwd": "768"}),
+    ("rs_blk_256", {"pallas.resample_block": "256"}),
+    ("rs_blk_1024", {"pallas.resample_block": "1024"}),
     ("no_pallas_mlp", {"pallas.mlp": "False"}),
+    ("no_pallas_resample", {"pallas.resample": "False"}),
     ("no_lpips", {"train.lossweights.lpips": "0.0",
                   "train.lossweights.mse": "1.0"}),
     ("no_remat", {"train.remat": "False"}),
     ("samples_64", {"N_samples": "64"}),
     ("samples_4", {"N_samples": "4"}),
     ("grid_24", {"warp.grid_size": "24"}),
-    ("bwd_blk_1024", {"pallas.mlp_block_bwd": "1024"}),
-    ("bwd_blk_256", {"pallas.mlp_block_bwd": "256"}),
     ("f32", {"dtype": "'float32'"}),
 ]
 

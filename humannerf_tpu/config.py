@@ -364,7 +364,7 @@ def default_config() -> CN:
         #   resample: all-bone obs-grid weight resample in one VMEM kernel
         "pallas": {"composite": False, "mlp": True, "mlp_interpret": False,
                    "mlp_block": 2048, "mlp_block_bwd": 512,
-                   "resample": True},
+                   "resample": True, "resample_block": 512},
         "warp": {"mode": "fused", "grid_size": 48, "packed": True,
                  "include_bone_weights": False, "bbox_margin": 0.05},
     })

@@ -397,7 +397,8 @@ class HumanNeRF:
                 frame["cnl_bbox_min_xyz"], frame["cnl_bbox_scale_xyz"],
                 obs_min, obs_max, cfg.warp.grid_size,
                 include_bone_weights=need_bw, dtype=self.compute_dtype,
-                pallas_resample=use_pallas_rs)
+                pallas_resample=use_pallas_rs,
+                resample_blk=int(cfg.get_path("pallas.resample_block", 512)))
             if cfg.warp.get("packed", True):
                 ctx["packed_volume"] = build_packed_volume(U)
             else:

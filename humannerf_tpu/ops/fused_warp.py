@@ -94,7 +94,8 @@ def build_fused_volume(motion_weights: jnp.ndarray,
                        obs_min, obs_max, grid_size: int,
                        include_bone_weights: bool = False,
                        dtype=jnp.bfloat16,
-                       pallas_resample: bool = False):
+                       pallas_resample: bool = False,
+                       resample_blk: int = 512):
     """Fuse all bones into one observation-space volume.
 
     Returns U of shape (G, G, G, C) with channels
@@ -115,7 +116,7 @@ def build_fused_volume(motion_weights: jnp.ndarray,
         w = resample_all_bones(
             motion_weights, motion_scale_Rs, motion_Ts,
             cnl_bbox_min_xyz, cnl_bbox_scale_xyz, obs_min, obs_max,
-            grid_size, dtype=dtype)                       # (G^3, K)
+            grid_size, dtype=dtype, blk=resample_blk)
     else:
         grid = make_obs_grid(obs_min, obs_max, grid_size)  # (G^3, 3)
         # per-bone warped positions of every grid point, then MXU resample

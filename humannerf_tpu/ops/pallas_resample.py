@@ -120,25 +120,34 @@ def _bwd_kernel(G, dims, dtype, vols_ref, aff_ref, bbox_ref, g_ref,
         phy, hy0, hy1, wy, vy0, vy1 = _phi(fy, H)
         phx, hx0, hx1, wx, vx0, vx1 = _phi(fx, W)
         volk = vols_ref[k].astype(dtype)
+        # MXU-heavy formulation: one (B, H*W) elementwise product feeds two
+        # group-reduction matmuls, instead of three triple products (the
+        # VPU passes over (B, 1024) dominate this kernel's runtime)
         t1 = jnp.dot(phz.astype(dtype), volk, precision=prec,
                      preferred_element_type=jnp.float32)
-        yrep = jnp.dot(phy, Ry, preferred_element_type=jnp.float32)
-        xrep = jnp.dot(phx, Rx, preferred_element_type=jnp.float32)
+        yrep = jnp.dot(phy.astype(dtype), Ry.astype(dtype), precision=prec,
+                       preferred_element_type=jnp.float32)
+        u = t1 * yrep                                       # (B, H*W)
+        t2 = jax.lax.dot_general(                           # (B, W)
+            u.astype(dtype), Rx.astype(dtype), (((1,), (1,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
 
         gk = g[:, k:k + 1]                                  # (B, 1)
-        dt1 = gk * yrep * xrep
+        dphx = gk * t2
+        dt2 = gk * phx                                      # (B, W)
+        du = jnp.dot(dt2.astype(dtype), Rx.astype(dtype), precision=prec,
+                     preferred_element_type=jnp.float32)    # (B, H*W)
+        dt1 = du * yrep
+        dyrep = du * t1
         dvols_ref[k] += jax.lax.dot_general(
             phz.astype(dtype), dt1.astype(dtype), (((0,), (0,)), ((), ())),
             precision=prec, preferred_element_type=jnp.float32)
         dphz = jax.lax.dot_general(
             dt1.astype(dtype), volk, (((1,), (1,)), ((), ())),
             precision=prec, preferred_element_type=jnp.float32)
-        dyrep = gk * t1 * xrep
-        dxrep = gk * t1 * yrep
-        dphy = jax.lax.dot_general(dyrep, Ry, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        dphx = jax.lax.dot_general(dxrep, Rx, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        dphy = jax.lax.dot_general(
+            dyrep.astype(dtype), Ry.astype(dtype), (((1,), (1,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
 
         # d(phi)/d(frac): phi = h0*(1-w)*v0 + h1*w*v1 -> h1*v1 - h0*v0
         dfz = jnp.sum(dphz * (hz1 * vz1 - hz0 * vz0), axis=1, keepdims=True)
