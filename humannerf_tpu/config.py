@@ -124,7 +124,12 @@ def default_config() -> CN:
         "ignore_non_rigid_motions": False,
         "pose_decoder_off": False,
         "secondary_gpus": [0],   # parity shim; TPU build uses the mesh instead
-        "dtype": "float32",      # compute dtype for the MLP stack: float32|bfloat16
+        # compute dtype for the MLP stack. bfloat16 is the shipped default:
+        # the measured quality tax vs float32 is 0.1 dB (PARITY.md
+        # "Measured quality", benchmarks/quality_tax.py) while f32 renders
+        # ~3.4x slower on v5e. float32 remains the reference-parity mode
+        # (tests/test_reference_oracle.py pins it explicitly).
+        "dtype": "bfloat16",
         "experiments": {
             "color_perturbation": "empty",
             "color_perturbation_strength": "strong",

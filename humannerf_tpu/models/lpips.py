@@ -20,6 +20,7 @@ Weights:
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 import pickle
@@ -27,6 +28,8 @@ import pickle
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 # VGG16 conv plan: (out_channels, layers_per_block). Feature taps are the
 # last relu of each block (pretrained_networks.py vgg16 slices).
@@ -38,14 +41,31 @@ _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
+def lpips_trunk_kind(weights_path: str | None = None) -> str:
+    """'converted' when a converted VGG16 trunk file will be loaded,
+    'random' when init_lpips_params will fall back to the deterministic
+    random trunk (whose absolute LPIPS values are NOT comparable to
+    published numbers)."""
+    if (weights_path and weights_path != "empty"
+            and os.path.isfile(weights_path)):
+        return "converted"
+    return "random"
+
+
 def init_lpips_params(weights_path: str | None = None,
                       seed: int = 1234) -> dict:
     """Load converted weights, or build the deterministic random trunk."""
-    if weights_path and weights_path != "empty" and os.path.isfile(weights_path):
+    if lpips_trunk_kind(weights_path) == "converted":
         with open(weights_path, "rb") as f:
             raw = pickle.load(f)
         return jax.tree.map(jnp.asarray, raw)
 
+    logger.warning(
+        "LPIPS VGG16 trunk weights not found (cfg.lpips.weights=%r): using "
+        "the deterministic RANDOM trunk. Training still works (fixed random "
+        "features), but reported LPIPS values are UNCALIBRATED and not "
+        "comparable to published numbers -- convert real weights with "
+        "tools/convert_lpips_weights.py for metric parity.", weights_path)
     rng = np.random.RandomState(seed)
     params = {"features": [], "lins": []}
     c_in = 3

@@ -38,6 +38,13 @@ from humannerf_tpu.ops.trilinear import sample_motion_weights
 from humannerf_tpu.utils.transforms import posevec_representation
 
 
+def _fold(rng: jax.Array | None, i: int) -> jax.Array | None:
+    """Derive an independent dropout key per consumer (torch draws a fresh
+    mask at every F.dropout call; sharing one key would correlate the
+    non-rigid attention, input-encoder, and per-head masks)."""
+    return None if rng is None else jax.random.fold_in(rng, i)
+
+
 def _select_head(x: jnp.ndarray, head_id) -> jnp.ndarray:
     """x (N, K, C) + traced scalar head_id -> (N, C)."""
     idx = jnp.broadcast_to(
@@ -106,6 +113,11 @@ class HumanNeRF:
         # batches: Pallas calls are not GSPMD-partitionable, so the MLP
         # kernel must run inside a shard_map manual region over this mesh
         self.data_mesh = None
+        # set by Trainer under frame-DP (>1 device, frames_per_step > 1):
+        # the resample kernel would sit inside the GSPMD-sharded vmapped
+        # frame axis where neither GSPMD nor shard_map can host it -- fall
+        # back to the jnp einsum transpose for the volume build there
+        self.force_jnp_resample = False
         # fused Pallas MLP path (ops/pallas_mlp.py): plans are None when the
         # config needs features the kernel doesn't cover -- jnp path then
         self.pallas_mlp_plans = (None, None)
@@ -389,6 +401,7 @@ class HumanNeRF:
                        or cfg.condition_code.type != "global"
                        or cfg.rgb_history.last_num > 0)
             use_pallas_rs = (cfg.get_path("pallas.resample", True)
+                             and not self.force_jnp_resample
                              and (jax.default_backend() == "tpu"
                                   or cfg.get_path("pallas.mlp_interpret",
                                                   False)))
@@ -398,7 +411,8 @@ class HumanNeRF:
                 obs_min, obs_max, cfg.warp.grid_size,
                 include_bone_weights=need_bw, dtype=self.compute_dtype,
                 pallas_resample=use_pallas_rs,
-                resample_blk=int(cfg.get_path("pallas.resample_block", 512)))
+                resample_blk=int(cfg.get_path("pallas.resample_block", 512)),
+                shard_map_mesh=self.data_mesh)
             if cfg.warp.get("packed", True):
                 ctx["packed_volume"] = build_packed_volume(U)
             else:
@@ -507,16 +521,16 @@ class HumanNeRF:
                     res = nv.apply_nonrigid_sa(
                         params["non_rigid_mlp"], nr_embed, x_skel, cond,
                         skips=tuple(cfg.non_rigid_motion_mlp_sa.skips),
-                        dtype=self.compute_dtype, rng=dropout_rng)
+                        dtype=self.compute_dtype, rng=_fold(dropout_rng, 1))
                 elif model == "transformer_encoder":
                     res = nv.apply_nonrigid_transformer(
                         params["non_rigid_mlp"], nr_embed, x_skel,
                         cond.reshape(-1, cond.shape[-1]),
-                        dtype=self.compute_dtype, rng=dropout_rng)
+                        dtype=self.compute_dtype, rng=_fold(dropout_rng, 1))
                 elif model == "TStransformer_encoder":
                     res = nv.apply_nonrigid_ts_transformer(
                         params["non_rigid_mlp"], nr_embed, x_skel, cond,
-                        dtype=self.compute_dtype, rng=dropout_rng)
+                        dtype=self.compute_dtype, rng=_fold(dropout_rng, 1))
                 else:
                     raise ValueError(model)
             xyz, offsets = res["xyz"], res["offsets"]
@@ -539,7 +553,7 @@ class HumanNeRF:
                 xyz_h = xyz[:, h] if (self.nr_multi and xyz.ndim == 3) else xyz
                 raw_h = self._apply_cnl(params, xyz_h, ctx, dir_embed,
                                         bw_weights, rgb_dyn,
-                                        dropout_rng=dropout_rng)
+                                        dropout_rng=_fold(dropout_rng, 2 + h))
                 if self.cnl_multi:
                     raw_h = raw_h[:, 4 * h:4 * (h + 1)]
                 raws.append(raw_h)
@@ -550,7 +564,7 @@ class HumanNeRF:
             return raw, xyz, offsets
 
         raw = self._apply_cnl(params, xyz, ctx, dir_embed, bw_weights,
-                              rgb_dyn, dropout_rng=dropout_rng)
+                              rgb_dyn, dropout_rng=_fold(dropout_rng, 2))
         if self.cnl_multi:
             raw = raw.reshape(raw.shape[0], K, 4)
             raw = _select_head(raw, head_id) if head_mode == "select" \

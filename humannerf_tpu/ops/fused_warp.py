@@ -95,7 +95,8 @@ def build_fused_volume(motion_weights: jnp.ndarray,
                        include_bone_weights: bool = False,
                        dtype=jnp.bfloat16,
                        pallas_resample: bool = False,
-                       resample_blk: int = 512):
+                       resample_blk: int = 512,
+                       shard_map_mesh=None):
     """Fuse all bones into one observation-space volume.
 
     Returns U of shape (G, G, G, C) with channels
@@ -112,11 +113,28 @@ def build_fused_volume(motion_weights: jnp.ndarray,
     """
     K = motion_weights.shape[0]
     if pallas_resample:
+        import functools
+
         from humannerf_tpu.ops.pallas_resample import resample_all_bones
-        w = resample_all_bones(
-            motion_weights, motion_scale_Rs, motion_Ts,
-            cnl_bbox_min_xyz, cnl_bbox_scale_xyz, obs_min, obs_max,
-            grid_size, dtype=dtype, blk=resample_blk)
+        rs = functools.partial(resample_all_bones, grid_size=grid_size,
+                               dtype=dtype, blk=resample_blk)
+        if shard_map_mesh is not None and shard_map_mesh.devices.size > 1:
+            # GSPMD cannot partition a pallas_call: in a >1-device jit the
+            # per-frame resample (and its custom_vjp backward kernel) must
+            # sit in a shard_map manual region. All operands are per-frame
+            # scalars/volumes -- replicate in, replicate out; every device
+            # redundantly computes the identical (small) volume.
+            from jax.sharding import PartitionSpec as P
+            sm_kw = dict(mesh=shard_map_mesh,
+                         in_specs=(P(),) * 7, out_specs=P())
+            try:
+                from jax import shard_map
+                rs = shard_map(rs, check_vma=False, **sm_kw)
+            except (ImportError, TypeError):      # older jax API
+                from jax.experimental.shard_map import shard_map
+                rs = shard_map(rs, check_rep=False, **sm_kw)
+        w = rs(motion_weights, motion_scale_Rs, motion_Ts,
+               cnl_bbox_min_xyz, cnl_bbox_scale_xyz, obs_min, obs_max)
     else:
         grid = make_obs_grid(obs_min, obs_max, grid_size)  # (G^3, 3)
         # per-bone warped positions of every grid point, then MXU resample

@@ -15,7 +15,9 @@ import jax
 import numpy as np
 
 from humannerf_tpu.data.loader import Loader, create_dataset
-from humannerf_tpu.models.lpips import init_lpips_params, make_lpips_metric_fn
+from humannerf_tpu.models.lpips import (init_lpips_params,
+                                        lpips_trunk_kind,
+                                        make_lpips_metric_fn)
 from humannerf_tpu.models.network import HumanNeRF
 from humannerf_tpu.train import checkpoint as ckpt
 from humannerf_tpu.train.trainer import EvalRenderer
@@ -66,7 +68,10 @@ def run(cfg, run_type: str):
         if "lpips" in cfg.eval.metrics else None
 
     def _make_metrics(d):
-        kw = {"lpips_fn": lpips_fn} if lpips_fn is not None else {}
+        kw = {}
+        if lpips_fn is not None:
+            kw = {"lpips_fn": lpips_fn,
+                  "lpips_trunk": lpips_trunk_kind(cfg.lpips.weights)}
         return MetricsWriter(d, run_type,
                              dataset=cfg[run_type].get("dataset", "?"),
                              metrics=cfg.eval.metrics, **kw)

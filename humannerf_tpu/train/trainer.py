@@ -118,11 +118,12 @@ class Trainer:
                 # ray-sharded batches: run the pallas MLP in a shard_map
                 # region over the data axis
                 self.net.data_mesh = self.mesh
-            elif jax.default_backend() == "tpu":
+            else:
                 # frame-DP shards the vmapped frame axis; a pallas call
                 # inside that layout is not partitionable -- use the jnp
-                # path, which GSPMD handles
+                # paths (MLP and resample), which GSPMD handles
                 self.net.pallas_mlp_plans = (None, None)
+                self.net.force_jnp_resample = True
 
         init_key, self.rng = jax.random.split(self.rng)
         self.params = self.net.init_params(init_key)
@@ -131,8 +132,15 @@ class Trainer:
         if frozen:
             self.log(f"frozen pretrained modules: {frozen}")
         self.tx, self.opt_state = make_optimizer(cfg, self.params, frozen)
-        self.lpips_params = init_lpips_params(cfg.lpips.weights) \
-            if cfg.train.lossweights.get("lpips", 0) > 0 else None
+        self.lpips_params = None
+        if cfg.train.lossweights.get("lpips", 0) > 0:
+            self.lpips_params = init_lpips_params(cfg.lpips.weights)
+            from humannerf_tpu.models.lpips import lpips_trunk_kind
+            if lpips_trunk_kind(cfg.lpips.weights) == "random":
+                self.log("WARNING: LPIPS loss is running on the RANDOM VGG "
+                         "trunk (no converted weights at "
+                         f"{cfg.lpips.weights!r}); logged lpips values are "
+                         "uncalibrated")
 
         self.iter = 1
         if cfg.resume and ckpt.ckpt_exists(cfg.logdir, cfg.load_net):

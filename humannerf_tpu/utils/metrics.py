@@ -85,7 +85,8 @@ class MetricsWriter:
     the writer stays backend-agnostic."""
 
     def __init__(self, output_dir: str, exp_name: str, dataset: str,
-                 metrics=("psnr", "ssim", "lpips"), lpips_fn=None):
+                 metrics=("psnr", "ssim", "lpips"), lpips_fn=None,
+                 lpips_trunk: str | None = None):
         os.makedirs(output_dir, exist_ok=True)
         self.per_img_f = open(
             os.path.join(output_dir, f"{exp_name}-metrics.perimg.txt"), "a")
@@ -93,6 +94,12 @@ class MetricsWriter:
             os.path.join(output_dir, f"{exp_name}-metrics.average.txt"), "a")
         self.per_img_f.write(f"========={dataset}==========\n")
         self.average_f.write(f"========={dataset}==========\n")
+        if lpips_trunk is not None and lpips_trunk != "converted":
+            # make uncalibrated LPIPS numbers self-describing in the output
+            tag = (f"# lpips_trunk: {lpips_trunk} (UNCALIBRATED -- not "
+                   "comparable to published LPIPS values)\n")
+            self.per_img_f.write(tag)
+            self.average_f.write(tag)
         self.metrics = list(metrics)
         self.lpips_fn = lpips_fn
         self.sums = defaultdict(float)

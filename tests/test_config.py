@@ -58,3 +58,33 @@ def test_cn_attribute_access():
     assert c.a.b[1].c == 2
     assert c.get_path("a.b") == c.a.b
     assert c.get_path("a.z", "dflt") == "dflt"
+
+
+def test_every_shipped_yaml_instantiates():
+    """Config-surface closure (VERDICT r2 next #7): every yaml under
+    humannerf_tpu/configs/ must survive make_cfg and resolve every
+    run-type dataset binding through the named-dataset registry."""
+    import glob
+    import os
+
+    from humannerf_tpu.data.dataset_args import get_dataset_args
+
+    cfg_root = os.path.join(os.path.dirname(__file__), "..",
+                            "humannerf_tpu", "configs")
+    yamls = sorted(glob.glob(os.path.join(cfg_root, "**", "*.yaml"),
+                             recursive=True))
+    # the documented reference surface is 14 experiment yamls; ours maps
+    # single_gpu->single_chip etc. but the count must not regress
+    assert len(yamls) >= 14, yamls
+
+    run_types = ("train", "progress", "movement", "freeview", "tpose",
+                 "tpose_pose_condition", "novelview", "novelview_all",
+                 "novelpose", "novelpose_eval", "train_render")
+    for y in yamls:
+        cfg = make_cfg(y)
+        assert cfg.logdir
+        for rt in run_types:
+            sub = cfg.get(rt)
+            if isinstance(sub, CN) and "dataset" in sub:
+                args = get_dataset_args(cfg, sub.dataset)
+                assert args["dataset_path"], (y, rt)

@@ -25,6 +25,9 @@ from humannerf_tpu.utils.metrics import compute_psnr
 
 def _cfg(tmp_path, data_path, **extra):
     opts = [
+        # pinned f32: this file is the CPU regression twin of the
+        # reference-parity path (the shipped default is bfloat16)
+        "dtype", "'float32'",
         "N_samples", "16", "patch.size", "16", "patch.N_patches", "2",
         "warp.grid_size", "24",
         "mweight_volume.volume_size", "16",
@@ -103,6 +106,37 @@ def test_synthetic_convergence_psnr(trained):
     for a, b in zip(curve, curve[1:]):
         assert b > a - 0.5, curve
     assert curve[-1] > 16.0, curve
+
+
+def test_production_loss_convergence(tmp_path):
+    """CPU regression twin of the PRODUCTION loss (LPIPS 1.0 + MSE 0.2,
+    /root/reference/configs/default.yaml lossweights): training under the
+    perceptual loss must improve PSNR and never destabilize. The full-length
+    TPU curve lives in PARITY.md (benchmarks/tpu_convergence.py
+    --loss production: 10.1 -> 30.1 dB over 1200 steps)."""
+    data_path = write_synthetic_dataset(str(tmp_path / "ds"), n_frames=2,
+                                        size=64)
+    cfg = _cfg(tmp_path, data_path,
+               **{"train.lossweights.lpips": "1.0",
+                  "train.lossweights.mse": "0.2"})
+    from humannerf_tpu.parallel import mesh as mesh_lib
+    from humannerf_tpu.train.trainer import Trainer
+    trainer = Trainer(cfg, mesh=mesh_lib.make_mesh(1), log=lambda *a: None)
+    psnr_init = _eval_psnr(cfg, trainer.net, trainer.params, data_path,
+                           n_frames=1)
+
+    ds = Dataset(cfg, data_path, keyfilter=cfg.train_keyfilter,
+                 ray_shoot_mode="patch", bgcolor=[0, 0, 0], seed=0)
+    curve = [psnr_init]
+    for chunk in (40, 40):
+        trainer.train(loader=Loader(ds, shuffle=True, seed=0, prefetch=0),
+                      max_steps=chunk)
+        curve.append(_eval_psnr(cfg, trainer.net, trainer.params, data_path,
+                                n_frames=1))
+    print("production-loss PSNR curve:", [f"{p:.2f}" for p in curve])
+    assert curve[-1] > curve[0] + 2.0, curve
+    for a, b in zip(curve, curve[1:]):
+        assert b > a - 0.5, curve
 
 
 def test_fused_vs_exact_quality_pin(trained):

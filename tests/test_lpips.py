@@ -94,3 +94,71 @@ def test_lin_head_conversion(tmp_path):
 def test_scale_for_lpips():
     np.testing.assert_allclose(np.asarray(scale_for_lpips(jnp.asarray([0.0, 0.5, 1.0]))),
                                [-1.0, 0.0, 1.0])
+
+
+def test_random_trunk_is_loud(tmp_path, caplog):
+    """The random-trunk fallback must announce itself (VERDICT r2 weak #5):
+    a warning at init, a tag in MetricsWriter headers -- and both must be
+    absent when converted weights are supplied."""
+    import logging
+    import pickle
+
+    from humannerf_tpu.models.lpips import lpips_trunk_kind
+    from humannerf_tpu.utils.metrics import MetricsWriter
+
+    # no weights -> random trunk, warning logged
+    assert lpips_trunk_kind(None) == "random"
+    assert lpips_trunk_kind("empty") == "random"
+    with caplog.at_level(logging.WARNING, "humannerf_tpu.models.lpips"):
+        init_lpips_params(None)
+    assert any("RANDOM trunk" in r.message for r in caplog.records)
+
+    # a converted-weights file -> converted, no warning
+    conv = tmp_path / "vgg_jax.pkl"
+    with open(conv, "wb") as f:
+        pickle.dump({"features": [], "lins": []}, f)
+    assert lpips_trunk_kind(str(conv)) == "converted"
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "humannerf_tpu.models.lpips"):
+        init_lpips_params(str(conv))
+    assert not caplog.records
+
+    # MetricsWriter header carries the tag only for the random trunk
+    w = MetricsWriter(str(tmp_path / "m1"), "exp", dataset="d",
+                      metrics=("psnr",), lpips_trunk="random")
+    w.finalize()
+    with open(tmp_path / "m1" / "exp-metrics.perimg.txt") as f:
+        assert "lpips_trunk: random" in f.read()
+    w2 = MetricsWriter(str(tmp_path / "m2"), "exp", dataset="d",
+                       metrics=("psnr",), lpips_trunk="converted")
+    w2.finalize()
+    with open(tmp_path / "m2" / "exp-metrics.perimg.txt") as f:
+        assert "lpips_trunk" not in f.read()
+
+
+def test_trainer_warns_on_random_trunk(tmp_path):
+    """Trainer startup log carries the random-trunk warning when the
+    production LPIPS loss is active."""
+    from synthetic_data import write_synthetic_dataset
+
+    from humannerf_tpu.config import make_cfg
+    from humannerf_tpu.parallel import mesh as mesh_lib
+    from humannerf_tpu.train.trainer import Trainer
+
+    data_path = write_synthetic_dataset(str(tmp_path / "ds"), n_frames=1,
+                                        size=32)
+    cfg = make_cfg(opts=[
+        "N_samples", "4", "patch.size", "8", "patch.N_patches", "1",
+        "mweight_volume.volume_size", "4", "mweight_volume.embedding_size", "4",
+        "canonical_mlp.mlp_width", "8", "canonical_mlp.mlp_depth", "2",
+        "non_rigid_motion_mlp.mlp_width", "8",
+        "non_rigid_motion_mlp.mlp_depth", "2",
+        "non_rigid_motion_mlp.skips", "[]",
+        "pose_decoder.mlp_width", "8", "pose_decoder.mlp_depth", "2",
+        "train.lossweights.lpips", "1.0", "train.lossweights.mse", "0.2",
+    ], base_dir=str(tmp_path))
+    cfg.logdir = str(tmp_path / "logs")
+    cfg.train.dataset = data_path
+    lines = []
+    Trainer(cfg, mesh=mesh_lib.make_mesh(1), log=lines.append)
+    assert any("RANDOM VGG" in ln for ln in lines), lines
