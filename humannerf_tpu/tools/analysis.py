@@ -452,6 +452,48 @@ def greedy_maxmin_cluster(D: np.ndarray, n_clusters: int):
     return clusters
 
 
+def cluster_montage(cluster_pkl: str, image_dir: str, out_dir: str,
+                    tile: int = 256, grid: int = 8, names_file=None):
+    """Tiled per-cluster montage grids (tools/draw_sorted_image.py:30-50):
+    each cluster's member images are resized to tile x tile and pasted into
+    grid x grid sheets, one or more PNGs per cluster.
+
+    Accepts either this repo's `cluster` output (list of index lists, with
+    --names mapping index -> image stem) or the reference's pickle of
+    {'names': [...]} dicts."""
+    from PIL import Image
+    with open(cluster_pkl, "rb") as f:
+        clusters = pickle.load(f)
+    names = None
+    if names_file:
+        names = [ln.strip() for ln in open(names_file) if ln.strip()]
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for cid, cluster in enumerate(clusters):
+        if isinstance(cluster, dict):
+            members = list(cluster["names"])
+        else:
+            members = [names[i] if names is not None else str(i)
+                       for i in cluster]
+        paths = []
+        for n in members:
+            p = os.path.join(image_dir, n)
+            if not os.path.splitext(n)[1]:
+                p += ".png"
+            paths.append(p)
+        per = grid * grid
+        for gi in range(0, len(paths), per):
+            sheet = Image.new("RGB", (tile * grid, tile * grid))
+            for idx, p in enumerate(paths[gi:gi + per]):
+                img = Image.open(p).convert("RGB").resize(
+                    (tile, tile), Image.LANCZOS)
+                sheet.paste(img, (idx % grid * tile, idx // grid * tile))
+            out = os.path.join(out_dir, f"cluster{cid}_{gi // per}.png")
+            sheet.save(out)
+            written.append(out)
+    return written
+
+
 # -- LBS-vs-full comparison ---------------------------------------------------------
 
 def compare_lbs(full_dir: str, lbs_dir: str, out_dir: str,
@@ -556,6 +598,15 @@ def main():
     p.add_argument("--n", type=int, default=4)
     p.add_argument("--out", required=True)
 
+    p = sub.add_parser("cluster-montage")
+    p.add_argument("--clusters", required=True, help="cluster pkl")
+    p.add_argument("--images", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--tile", type=int, default=256)
+    p.add_argument("--grid", type=int, default=8)
+    p.add_argument("--names", default=None,
+                   help="text file mapping cluster indices to image stems")
+
     p = sub.add_parser("compare-lbs")
     p.add_argument("--full", required=True)
     p.add_argument("--lbs", required=True)
@@ -611,6 +662,11 @@ def main():
         clusters = greedy_maxmin_cluster(D, args.n)
         with open(args.out, "wb") as f:
             pickle.dump(clusters, f)
+    elif args.cmd == "cluster-montage":
+        for path in cluster_montage(args.clusters, args.images, args.out_dir,
+                                    tile=args.tile, grid=args.grid,
+                                    names_file=args.names):
+            print(path)
     elif args.cmd == "compare-lbs":
         compare_lbs(args.full, args.lbs, args.out)
 

@@ -198,3 +198,39 @@ def test_warp_images_strips(tmp_path):
     warped = img[:, 2 * 32:3 * 32]
     assert warped.max() > 0
     assert os.path.isfile(o10)
+
+
+def test_cluster_montage(tmp_path):
+    """cluster-montage tiles each cluster's frames into grid x grid sheets
+    (draw_sorted_image.py:30-50), supporting both index-list clusters (+ a
+    names map) and the reference's {'names': [...]} dicts."""
+    from PIL import Image
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    for i in range(5):
+        arr = np.full((16, 16, 3), 40 * i, np.uint8)
+        Image.fromarray(arr).save(img_dir / f"f{i}.png")
+
+    # index-list clusters (this repo's `cluster` output) + names file
+    with open(tmp_path / "cl.pkl", "wb") as f:
+        pickle.dump([[0, 1, 2], [3, 4]], f)
+    names = tmp_path / "names.txt"
+    names.write_text("".join(f"f{i}\n" for i in range(5)))
+    out = analysis.cluster_montage(str(tmp_path / "cl.pkl"), str(img_dir),
+                                   str(tmp_path / "m1"), tile=8, grid=2,
+                                   names_file=str(names))
+    assert [os.path.basename(p) for p in out] == \
+        ["cluster0_0.png", "cluster1_0.png"]
+    sheet = np.asarray(Image.open(out[0]))
+    assert sheet.shape == (16, 16, 3)
+    # tiles land row-major: top-left f0 (0), top-right f1 (40), b-l f2 (80)
+    assert sheet[0, 0, 0] == 0 and sheet[0, 12, 0] == 40
+    assert sheet[12, 4, 0] == 80 and sheet[12, 12, 0] == 0  # empty slot
+
+    # reference-style dict clusters, >1 sheet per cluster
+    with open(tmp_path / "cl2.pkl", "wb") as f:
+        pickle.dump([{"names": [f"f{i}.png" for i in range(5)]}], f)
+    out2 = analysis.cluster_montage(str(tmp_path / "cl2.pkl"), str(img_dir),
+                                    str(tmp_path / "m2"), tile=8, grid=2)
+    assert [os.path.basename(p) for p in out2] == \
+        ["cluster0_0.png", "cluster0_1.png"]
