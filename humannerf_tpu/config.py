@@ -367,9 +367,14 @@ def default_config() -> CN:
         #        active on TPU for kernel-eligible configs (default model
         #        family); mlp_block / mlp_block_bwd tune the sample block
         #   resample: all-bone obs-grid weight resample in one VMEM kernel
+        #   scatter: train-time packed-volume sample whose backward scatters
+        #            the volume cotangent via a windowed one-hot MXU kernel
+        #            (ops/pallas_scatter.py) instead of XLA's scatter-add
         "pallas": {"composite": False, "mlp": True, "mlp_interpret": False,
                    "mlp_block": 2048, "mlp_block_bwd": 512,
-                   "resample": True, "resample_block": 512},
+                   "resample": True, "resample_block": 512,
+                   "scatter": True, "scatter_block": 1024,
+                   "scatter_window": 256},
         "warp": {"mode": "fused", "grid_size": 48, "packed": True,
                  "include_bone_weights": False, "bbox_margin": 0.05},
     })

@@ -268,12 +268,14 @@ class HumanNeRF:
 
     def prepare_frame(self, params: dict, frame: dict,
                       iter_val: jnp.ndarray,
-                      dropout_rng: jax.Array | None = None) -> dict:
+                      dropout_rng: jax.Array | None = None,
+                      train: bool = False) -> dict:
         """Pose refinement + motion basis + weight volume + condition code.
 
         Runs once per frame (reference network.py:647-769 pre-ray section).
         dropout_rng != None enables train-time dropout in the attention
-        condition-code encoder (torch train()/eval() semantics).
+        condition-code encoder (torch train()/eval() semantics). train=True
+        may route the warp lookup through the Pallas-backward scatter op.
         """
         cfg = self.cfg
         dst_Rs, dst_Ts = frame["dst_Rs"], frame["dst_Ts"]
@@ -413,7 +415,24 @@ class HumanNeRF:
                 pallas_resample=use_pallas_rs,
                 resample_blk=int(cfg.get_path("pallas.resample_block", 512)),
                 shard_map_mesh=self.data_mesh)
-            if cfg.warp.get("packed", True):
+            # Train-time fast path: fuse pack+gather+einsum into one op whose
+            # transpose runs the Pallas windowed one-hot scatter kernel
+            # (ops/pallas_scatter.py) instead of XLA's scatter-add. Needs
+            # C == 16 (no bone-weight channels), a single-call render (no
+            # frame vmap: pallas_call batching would break the sequential
+            # accumulator grid), and a single-device jit (GSPMD cannot
+            # partition a pallas_call; multi-device keeps the XLA scatter,
+            # which GSPMD shards fine).
+            use_scatter = (
+                train and not need_bw and cfg.warp.get("packed", True)
+                and cfg.get_path("pallas.scatter", True)
+                and int(cfg.train.frames_per_step) == 1
+                and not self.force_jnp_resample and self.data_mesh is None
+                and (jax.default_backend() == "tpu"
+                     or cfg.get_path("pallas.mlp_interpret", False)))
+            if use_scatter:
+                ctx["scatter_U"] = U
+            elif cfg.warp.get("packed", True):
                 ctx["packed_volume"] = build_packed_volume(U)
             else:
                 ctx["fused_volume"] = U
@@ -611,8 +630,17 @@ class HumanNeRF:
                                        axis=1).reshape(R * S, -1)
 
         pts_flat = pts.reshape(-1, 3)
-        if "packed_volume" in ctx or "fused_volume" in ctx:
-            if "packed_volume" in ctx:
+        if ("scatter_U" in ctx or "packed_volume" in ctx
+                or "fused_volume" in ctx):
+            if "scatter_U" in ctx:
+                from humannerf_tpu.ops.pallas_scatter import \
+                    sample_packed_grad
+                x_skel, fg, bw_weights = sample_packed_grad(
+                    ctx["scatter_U"], pts_flat, ctx["obs_min"],
+                    ctx["obs_max"], dtype=self.compute_dtype,
+                    blk=int(cfg.get_path("pallas.scatter_block", 1024)),
+                    window=int(cfg.get_path("pallas.scatter_window", 256)))
+            elif "packed_volume" in ctx:
                 x_skel, fg, bw_weights = sample_packed_volume(
                     ctx["packed_volume"], pts_flat, ctx["obs_min"],
                     ctx["obs_max"])
@@ -739,7 +767,7 @@ class HumanNeRF:
         frame_drop_rng = jax.random.fold_in(rng, 7) \
             if (train and rng is not None) else None
         ctx = self.prepare_frame(params, frame, iter_val,
-                                 dropout_rng=frame_drop_rng)
+                                 dropout_rng=frame_drop_rng, train=train)
         n_rays = rays["rays_o"].shape[0]
         kw = dict(perturb=perturb, full_outputs=full_outputs, remat=remat,
                   head_id=head_id, head_mode=head_mode, train=train)
