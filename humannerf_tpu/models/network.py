@@ -429,7 +429,12 @@ class HumanNeRF:
                 and int(cfg.train.frames_per_step) == 1
                 and not self.force_jnp_resample and self.data_mesh is None
                 and (jax.default_backend() == "tpu"
-                     or cfg.get_path("pallas.mlp_interpret", False)))
+                     or cfg.get_path("pallas.mlp_interpret", False))
+                # f32 mode stays on the XLA scatter: the f32 kernel variant
+                # has crashed the TPU compile service at production shapes
+                # (observed once; bf16 is the shipped default anyway)
+                and (self.compute_dtype == jnp.bfloat16
+                     or jax.default_backend() != "tpu"))
             if use_scatter:
                 ctx["scatter_U"] = U
             elif cfg.warp.get("packed", True):

@@ -3,37 +3,35 @@
 The training step's inverse-LBS lookup gathers one (8*C)-channel row per
 sample from the packed fused volume (ops.fused_warp.sample_packed_volume;
 reference semantics: core/nets/human_nerf/network.py:407-425). Its
-transpose is a (N, 128) -> (G^3, 128) scatter-add at per-sample voxel
+transpose is an (N, 128) -> (G^3, 128) scatter-add at per-sample voxel
 ids -- XLA's scatter (an internal sort + serialized update loop) costs
 ~11 ms at N=786k, G=48 on v5e, every training step.
 
-TPU-native replacement, exploiting two structural facts:
+TPU-native replacement -- a blocked segment-sum on the MXU:
 
-  1. Sorting the voxel keys is nearly free on TPU (~1 ms for 786k i32),
-     and with ~57 samples/voxel-row on average, a sorted block of B
-     samples touches a SMALL contiguous range of volume rows.
-  2. A scatter whose targets fit a window of R rows is a dense matmul:
-     build a (B, R) one-hot of (row - window_base) and contract over
-     samples on the MXU -- no per-row stores at all.
+  1. Sort the voxel keys with their (w8, dacc) payload columns (bf16
+     payloads bitcast-packed into u32 pairs to halve the sort width).
+  2. Tile the G^3 output rows into windows of R rows. Because the keys
+     are sorted, a block of B consecutive samples touches few windows:
+     the total number of (sample-block, window) SLOTS is provably
+     <= n_blocks + n_windows (spans telescope across sorted blocks), so
+     the slot list is a STATIC-shape array built with cumsum/searchsorted.
+  3. The kernel runs one grid step per slot (scalar-prefetched block and
+     window indices drive the in/out index maps -- the body is straight
+     line, no data-dependent control flow): build a (B, R) one-hot of
+     (row - window_base), masked to the window, and contract it against
+     the (B, 128) per-sample payload rows on the MXU, accumulating into
+     the window's (R, 128) out block. Window indices are nondecreasing,
+     so out-block revisits are always consecutive (the supported Pallas
+     accumulation pattern: zero-init on first visit, += after).
 
-The kernel keeps the whole gradient volume VMEM-resident in a packed
-(G^3/8, 128) f32 layout (8 voxels x C=16 channels per row, ~7 MB at
-G=48) across a sequential grid over sorted sample blocks. Each block
-processes its samples in a data-dependent number of row-windows (a
-while_loop; almost always one window). Per window, per corner, one
-(R, B) @ (B, 128) MXU contraction accumulates into the volume at a
-dynamic row offset.
+The kernel scatters into the PACKED volume cotangent d(U8); the 8-way
+shifted unpack-add back to d(U) is XLA's transpose of
+build_packed_volume (~1 ms, jax.vjp of a linear function).
 
-Because all 8 trilinear corner offsets {dz*G^2 + dy*G + dx} are congruent
-to 0 or 1 mod 8 when G % 8 == 0, a corner's contribution lands at packed
-row floor(flat/8) + {0, G/8, G^2/8, (G^2+G)/8} (+1 carry for dx=1 when
-flat % 8 == 7) and lane group (flat % 8) or (flat % 8 + 1) % 8 -- so two
-one-hot matrices (even/odd dx) and lane-group masks cover all corners.
-
-The custom_vjp wraps pack+gather+einsum in one op, so the backward also
-eliminates XLA's 8-way shifted unpack-add (build_packed_volume's
-transpose) and the gather recompute under remat (gathered rows are stored
-as a residual: re-gathering is latency-bound, storing is bandwidth-bound).
+The custom_vjp wraps pack+gather+einsum in one op; gathered rows are
+stored as a residual (re-gathering under remat is latency-bound, storing
+is bandwidth-bound).
 """
 
 from __future__ import annotations
@@ -73,92 +71,94 @@ def _corner_weights(wx, wy, wz):
         wz * wy * (1 - wx),             wz * wy * wx], axis=1)
 
 
-def _scatter_kernel(G, R, dtype, flat_ref, dacc_ref, w8_ref, acc_ref):
-    """One sorted sample block -> windowed one-hot MXU scatter."""
+def _slot_kernel(R, dtype, s_ref, flat_ref, p_ref, out_ref):
+    """One (sample-block, window) slot -> masked one-hot MXU scatter."""
     B = flat_ref.shape[0]
+    j = pl.program_id(0)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(s_ref[3, j] == 1)
     def _zero():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    flat = flat_ref[:]                                   # (B, 1) i32
-    r0 = flat // 8
-    gx0 = flat % 8
-    carry = (gx0 == 7).astype(jnp.int32)
-    dacc = dacc_ref[:]                                   # (B, 16) f32
-    w8 = w8_ref[:]                                       # (B, 8) f32
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
-    group = lane // 16
-    dacc_t = jnp.concatenate([dacc] * 8, axis=1)         # (B, 128)
-    p_even = jnp.where(group == gx0, dacc_t, 0.0)
-    p_odd = jnp.where(group == (gx0 + 1) % 8, dacc_t, 0.0)
-
+    w = s_ref[1, j]
+    valid = s_ref[2, j]
+    off = flat_ref[:] - w * R                            # (B, 1) i32
+    act = jnp.logical_and(jnp.logical_and(off >= 0, off < R), valid == 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
-    rows_delta = (0, G // 8, G * G // 8, (G * G + G) // 8)
-
-    def window(state):
-        c, _ = state
-        done = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) < c
-        base = jnp.min(jnp.where(done, jnp.int32(2 ** 30), r0))
-        off = r0 - base
-        # off == R-1 with carry would push the odd one-hot out of range:
-        # the window advances through off <= R-2 only
-        active = jnp.logical_and(off >= 0, off <= R - 2)
-        oh_e = jnp.logical_and(cols == off, active).astype(dtype)
-        oh_c = jnp.logical_and(cols == off + carry, active).astype(dtype)
-        for dx, (oh, pay) in enumerate(((oh_e, p_even), (oh_c, p_odd))):
-            for j, dr in enumerate(rows_delta):
-                k = 2 * j + dx
-                pk = (w8[:, k:k + 1] * pay).astype(dtype)
-                tile = jax.lax.dot_general(
-                    oh, pk, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # (R, 128)
-                start = base + dr
-                acc_ref[pl.ds(start, R), :] += tile
-        return c + jnp.sum(active.astype(jnp.int32)), base
-
-    jax.lax.while_loop(lambda s: s[0] < B, window, (jnp.int32(0),
-                                                    jnp.int32(0)))
+    oh = jnp.logical_and(cols == off, act).astype(dtype)
+    out_ref[:] += jax.lax.dot_general(
+        oh, p_ref[:].astype(dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (R, 128)
 
 
-def _pad_rows(G, R):
-    # base <= G^3/8 - 1; farthest write start+R = base + (G^2+G)/8 + R
-    n = G * G * G // 8 + (G * G + G) // 8 + R
-    return -(-n // 8) * 8
+def _build_slots(flat_s, nb, blk, R, n_win, M):
+    """Static-shape (4, M) slot table [block, window, valid, first_visit]
+    plus the per-window visited mask (unvisited out blocks hold garbage
+    and are zeroed by the caller)."""
+    rb = flat_s.reshape(nb, blk)
+    fw = rb[:, 0] // R                                   # (nb,)
+    lw = rb[:, -1] // R
+    nwin = lw - fw + 1
+    c = jnp.concatenate([jnp.zeros(1, nwin.dtype),
+                         jnp.cumsum(nwin)[:-1]])         # exclusive cumsum
+    j = jnp.arange(M, dtype=jnp.int32)
+    b_of = jnp.clip(jnp.searchsorted(c, j, side="right") - 1, 0, nb - 1) \
+        .astype(jnp.int32)
+    rel = j - c[b_of]
+    valid = rel < nwin[b_of]
+    w_of = jnp.clip(fw[b_of] + rel, 0, n_win - 1).astype(jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), w_of[1:] != w_of[:-1]])
+    slots = jnp.stack([b_of, w_of, valid.astype(jnp.int32),
+                       first.astype(jnp.int32)], axis=0)
+    vis = jnp.zeros((n_win,), jnp.float32).at[w_of].max(
+        valid.astype(jnp.float32))
+    return slots, vis
 
 
 @functools.partial(jax.jit,
                    static_argnames=("G", "dtype_str", "blk", "R",
                                     "interpret"))
-def _scatter_call(flat_s, dacc_s, w8_s, *, G, dtype_str, blk, R, interpret):
-    n = flat_s.shape[0]
-    npad = -(-n // blk) * blk
-    if npad != n:
-        # pad with the max key (stays in-range) and zero payloads
-        flat_s = jnp.concatenate(
-            [flat_s, jnp.broadcast_to(flat_s[-1:], (npad - n,))])
-        dacc_s = jnp.concatenate(
-            [dacc_s, jnp.zeros((npad - n, 16), dacc_s.dtype)])
-        w8_s = jnp.concatenate(
-            [w8_s, jnp.zeros((npad - n, 8), w8_s.dtype)])
+def _scatter_call(flat_s, p_s, *, G, dtype_str, blk, R, interpret):
+    """Sorted keys (npad,) + payload rows (npad, 128) -> d(U8) (G^3, 128)."""
+    npad = flat_s.shape[0]
+    nb = npad // blk
+    G3 = G * G * G
+    n_win = -(-G3 // R)
+    M = nb + n_win
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
-    rows = _pad_rows(G, R)
-    kern = functools.partial(_scatter_kernel, G, R, dtype)
+    slots, vis = _build_slots(flat_s, nb, blk, R, n_win, M)
+    kern = functools.partial(_slot_kernel, R, dtype)
     acc = pl.pallas_call(
-        kern, grid=(npad // blk,),
-        in_specs=[pl.BlockSpec((blk, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((blk, 16), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((blk, 8), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((rows, 128), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(M,),
+            in_specs=[pl.BlockSpec((blk, 1), lambda j, s: (s[0, j], 0)),
+                      pl.BlockSpec((blk, 128), lambda j, s: (s[0, j], 0))],
+            out_specs=pl.BlockSpec((R, 128), lambda j, s: (s[1, j], 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_win * R, 128), jnp.float32),
         interpret=interpret,
-    )(flat_s.reshape(npad, 1), dacc_s, w8_s)
-    return acc[:G * G * G // 8]
+    )(slots, flat_s.reshape(npad, 1), p_s)
+    # unvisited out blocks hold uninitialized garbage (can be NaN/Inf):
+    # select, don't multiply
+    acc = jnp.where(vis[:, None, None] > 0, acc.reshape(n_win, R, 128),
+                    0.0).reshape(n_win * R, 128)
+    return acc[:G3]
+
+
+def _pack_u32(x):
+    """(N, 2k) f32 -> (N, k) u32 of bf16 pairs: halves the sort width."""
+    n, c = x.shape
+    xb = x.astype(jnp.bfloat16).reshape(n, c // 2, 2)
+    return jax.lax.bitcast_convert_type(xb, jnp.uint32)
+
+
+def _unpack_u32(x, c):
+    n = x.shape[0]
+    xb = jax.lax.bitcast_convert_type(x, jnp.bfloat16)
+    return xb.reshape(n, c).astype(jnp.float32)
 
 
 def scatter_grad_volume(flat, dacc, w8, *, grid_size, dtype=jnp.bfloat16,
@@ -170,17 +170,42 @@ def scatter_grad_volume(flat, dacc, w8, *, grid_size, dtype=jnp.bfloat16,
     trilinear corner weights.
     """
     G = grid_size
-    assert G % 8 == 0, G
-    order = jax.lax.sort(
-        [flat] + [dacc[:, i] for i in range(16)]
-        + [w8[:, i] for i in range(8)], num_keys=1)
-    flat_s = order[0]
-    dacc_s = jnp.stack(order[1:17], axis=1)
-    w8_s = jnp.stack(order[17:25], axis=1)
+    n = flat.shape[0]
+    npad = -(-n // blk) * blk
+    if npad != n:
+        # pad with the max in-range key and zero payloads
+        flat = jnp.concatenate(
+            [flat, jnp.full((npad - n,), G * G * G - 1, flat.dtype)])
+        dacc = jnp.concatenate(
+            [dacc, jnp.zeros((npad - n, 16), dacc.dtype)])
+        w8 = jnp.concatenate([w8, jnp.zeros((npad - n, 8), w8.dtype)])
+    if dtype == jnp.bfloat16:
+        cols = ([_pack_u32(dacc)[:, i] for i in range(8)]
+                + [_pack_u32(w8)[:, i] for i in range(4)])
+        order = jax.lax.sort([flat] + cols, num_keys=1)
+        flat_s = order[0]
+        dacc_s = _unpack_u32(jnp.stack(order[1:9], axis=1), 16)
+        w8_s = _unpack_u32(jnp.stack(order[9:13], axis=1), 8)
+    else:
+        order = jax.lax.sort(
+            [flat] + [dacc[:, i] for i in range(16)]
+            + [w8[:, i] for i in range(8)], num_keys=1)
+        flat_s = order[0]
+        dacc_s = jnp.stack(order[1:17], axis=1)
+        w8_s = jnp.stack(order[17:25], axis=1)
+    # payload rows in the packed-volume channel layout: corner k's
+    # contribution lands at channels [k*16:(k+1)*16] of row `flat`
+    p_s = (w8_s[:, :, None] * dacc_s[:, None, :]).reshape(npad, 128) \
+        .astype(dtype)
     dtype_str = "bfloat16" if dtype == jnp.bfloat16 else "float32"
-    acc = _scatter_call(flat_s, dacc_s, w8_s, G=G, dtype_str=dtype_str,
+    dU8 = _scatter_call(flat_s, p_s, G=G, dtype_str=dtype_str,
                         blk=blk, R=window, interpret=interpret)
-    return acc.reshape(G * G * G, 16).reshape(G, G, G, 16)
+    # transpose of build_packed_volume's 8-way shifted edge-replicated
+    # concat (a linear map): d(U8) -> d(U)
+    from humannerf_tpu.ops.fused_warp import build_packed_volume
+    _, pack_vjp = jax.vjp(build_packed_volume,
+                          jnp.zeros((G, G, G, 16), jnp.float32))
+    return pack_vjp(dU8.reshape(G, G, G, 128))[0]
 
 
 # -- the fused pack+gather+einsum op with the Pallas transpose -------------
@@ -191,9 +216,8 @@ def packed_sample_acc(U, pts, obs_min, obs_max, dtype_str, blk, window):
     """acc (N, 16) = trilinear read of the packed fused volume.
 
     Forward == build_packed_volume + sample_packed_volume's gather/einsum
-    (ops/fused_warp.py:162-226); backward scatters d(U) with the Pallas
-    kernel above instead of XLA's scatter-add, and skips the 8-way
-    unpack-add entirely by accumulating the UNPACKED volume cotangent.
+    (ops/fused_warp.py:162-226); backward scatters d(U8) with the Pallas
+    kernel above instead of XLA's scatter-add.
     """
     acc, _ = _fwd_impl(U, pts, obs_min, obs_max)
     return acc

@@ -207,6 +207,11 @@ class Trainer:
                                                      iter_val)
             return jnp.mean(losses), jax.tree.map(jnp.mean, loss_dicts)
 
+        # exposed for parity tests: gradients are the honest layout-parity
+        # signal (one Adam step normalizes away grad scale -- post-update
+        # params are ~invariant to even badly wrong reductions)
+        self._loss_fn = batched_loss_fn
+
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, rng, iter_val):
             (loss, loss_dict), grads = jax.value_and_grad(

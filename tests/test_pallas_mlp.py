@@ -203,9 +203,11 @@ def test_train_grads_end_to_end_parity():
 
 def test_mesh_sharded_train_step_with_pallas():
     """The pallas path must compose with the ray-sharded multi-chip step
-    AND agree with the single-device pallas run: loss and updated params
-    are compared at the test_grad_parity_f32 tolerances (a wrong-but-finite
-    shard_map reduction fails here -- VERDICT r2 weak #7)."""
+    AND agree with the single-device pallas run: loss and GRADIENTS are
+    compared at the test_grad_parity_f32 tolerances (a wrong-but-finite
+    shard_map reduction fails here -- VERDICT r2 weak #7). Gradients, not
+    post-Adam params: one Adam step is ~sign(g)*lr, which both normalizes
+    away scale errors and sign-flips on |g|~0 reduction-order noise."""
     import sys
     import tempfile
     sys.path.insert(0, ".")
@@ -219,6 +221,7 @@ def test_mesh_sharded_train_step_with_pallas():
 
     def run_step(n_dev):
         cfg = _small_cfg(**_tiny_train_overrides())
+        cfg.dtype = "float32"   # layout parity, not bf16 reduction noise
         cfg.pallas.mlp_interpret = True
         cfg.logdir = tempfile.mkdtemp()
         cfg.resume = False
@@ -226,20 +229,24 @@ def test_mesh_sharded_train_step_with_pallas():
         trainer = Trainer(cfg, mesh=mesh, log=lambda *a: None)
         assert trainer.net.pallas_mlp_plans[0] is not None
         db = mesh_lib.put_batch(_tiny_train_batch(cfg), mesh)
-        new_p, _o, loss, _ = trainer._train_step(
+        grads = jax.jit(jax.grad(lambda p: trainer._loss_fn(
+            p, db, jax.random.key(0), jnp.asarray(1.0))[0]))(trainer.params)
+        grads = jax.device_get(grads)
+        # the step donates params/opt_state -- run it after the grad read
+        _p, _o, loss, _ = trainer._train_step(
             trainer.params, trainer.opt_state, db, jax.random.key(0),
             jnp.asarray(1.0))
-        return float(loss), new_p
+        return float(loss), grads
 
-    loss_1, params_1 = run_step(1)
-    loss_8, params_8 = run_step(8)
+    loss_1, grads_1 = run_step(1)
+    loss_8, grads_8 = run_step(8)
     assert np.isfinite(loss_8)
     np.testing.assert_allclose(loss_8, loss_1, rtol=5e-4)
-    flat_1, t1 = jax.tree_util.tree_flatten_with_path(params_1)
-    flat_8, t2 = jax.tree_util.tree_flatten_with_path(params_8)
+    flat_1, t1 = jax.tree_util.tree_flatten_with_path(grads_1)
+    flat_8, t2 = jax.tree_util.tree_flatten_with_path(grads_8)
     assert t1 == t2
     for (path, a), (_, b) in zip(flat_1, flat_8):
-        scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+        scale = max(1e-3, float(np.max(np.abs(a))))
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-4 * scale,
             err_msg=jax.tree_util.keystr(path))
