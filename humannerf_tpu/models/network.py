@@ -418,16 +418,17 @@ class HumanNeRF:
             # Train-time fast path: fuse pack+gather+einsum into one op whose
             # transpose runs the Pallas windowed one-hot scatter kernel
             # (ops/pallas_scatter.py) instead of XLA's scatter-add. Needs
-            # C == 16 (no bone-weight channels), a single-call render (no
-            # frame vmap: pallas_call batching would break the sequential
-            # accumulator grid), and a single-device jit (GSPMD cannot
-            # partition a pallas_call; multi-device keeps the XLA scatter,
-            # which GSPMD shards fine).
+            # C == 16 (no bone-weight channels) and a single-call render
+            # (no frame vmap: pallas_call batching would break the
+            # sequential accumulator grid). Single-device or ray-sharded
+            # mesh (render_block wraps the op in a shard_map manual region
+            # there); frame-DP (force_jnp_resample) keeps the XLA scatter,
+            # which GSPMD shards fine.
             use_scatter = (
                 train and not need_bw and cfg.warp.get("packed", True)
                 and cfg.get_path("pallas.scatter", True)
                 and int(cfg.train.frames_per_step) == 1
-                and not self.force_jnp_resample and self.data_mesh is None
+                and not self.force_jnp_resample
                 and (jax.default_backend() == "tpu"
                      or cfg.get_path("pallas.mlp_interpret", False))
                 # f32 mode stays on the XLA scatter: the f32 kernel variant
@@ -638,13 +639,41 @@ class HumanNeRF:
         if ("scatter_U" in ctx or "packed_volume" in ctx
                 or "fused_volume" in ctx):
             if "scatter_U" in ctx:
+                import functools
+
                 from humannerf_tpu.ops.pallas_scatter import \
                     sample_packed_grad
-                x_skel, fg, bw_weights = sample_packed_grad(
-                    ctx["scatter_U"], pts_flat, ctx["obs_min"],
-                    ctx["obs_max"], dtype=self.compute_dtype,
+                sfn = functools.partial(
+                    sample_packed_grad, dtype=self.compute_dtype,
                     blk=int(cfg.get_path("pallas.scatter_block", 1024)),
                     window=int(cfg.get_path("pallas.scatter_window", 256)))
+                mesh = self.data_mesh
+                if mesh is not None and mesh.devices.size > 1:
+                    # ray-sharded layout: each device scatters its local
+                    # samples; shard_map's transpose psums d(U) across the
+                    # mesh (replicated-input cotangent rule). GSPMD cannot
+                    # partition the pallas_call on its own.
+                    from jax.sharding import PartitionSpec as P
+
+                    def pair(U, p, lo, hi):
+                        x, s, _ = sfn(U, p, lo, hi)
+                        return x, s
+                    sm_kw = dict(mesh=mesh,
+                                 in_specs=(P(), P("data"), P(), P()),
+                                 out_specs=(P("data"), P("data")))
+                    try:
+                        from jax import shard_map
+                        pair = shard_map(pair, check_vma=False, **sm_kw)
+                    except (ImportError, TypeError):   # older jax API
+                        from jax.experimental.shard_map import shard_map
+                        pair = shard_map(pair, check_rep=False, **sm_kw)
+                    x_skel, fg = pair(ctx["scatter_U"], pts_flat,
+                                      ctx["obs_min"], ctx["obs_max"])
+                    bw_weights = None
+                else:
+                    x_skel, fg, bw_weights = sfn(
+                        ctx["scatter_U"], pts_flat, ctx["obs_min"],
+                        ctx["obs_max"])
             elif "packed_volume" in ctx:
                 x_skel, fg, bw_weights = sample_packed_volume(
                     ctx["packed_volume"], pts_flat, ctx["obs_min"],

@@ -143,6 +143,54 @@ def test_train_path_grad_parity_end_to_end():
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_mesh_sharded_scatter_grad_parity():
+    """Ray-sharded mesh layout: render_block wraps sample_packed_grad in a
+    shard_map manual region; loss and gradients must equal the
+    single-device run (the shard_map transpose psums d(U))."""
+    import sys
+    import tempfile
+    sys.path.insert(0, ".")
+    from __graft_entry__ import (_small_cfg, _tiny_train_batch,
+                                 _tiny_train_overrides)
+    from humannerf_tpu.parallel import mesh as mesh_lib
+    from humannerf_tpu.train.trainer import Trainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    def run(n_dev):
+        cfg = _small_cfg(**_tiny_train_overrides())
+        cfg.dtype = "float32"   # layout parity, not bf16 noise
+        cfg.pallas.mlp = False
+        cfg.pallas.resample = False
+        cfg.pallas.mlp_interpret = True   # enables interpret-mode gates
+        cfg.pallas.scatter = True
+        cfg.pallas.scatter_block = 64
+        cfg.pallas.scatter_window = 32
+        cfg.logdir = tempfile.mkdtemp()
+        cfg.resume = False
+        mesh = mesh_lib.make_mesh(n_dev)
+        trainer = Trainer(cfg, mesh=mesh, log=lambda *a: None)
+        db = mesh_lib.put_batch(_tiny_train_batch(cfg), mesh)
+        loss, _aux = trainer._loss_fn(trainer.params, db, jax.random.key(0),
+                                      jnp.asarray(1.0))
+        grads = jax.jit(jax.grad(lambda p: trainer._loss_fn(
+            p, db, jax.random.key(0), jnp.asarray(1.0))[0]))(trainer.params)
+        return float(loss), jax.device_get(grads)
+
+    loss_1, grads_1 = run(1)
+    loss_8, grads_8 = run(8)
+    np.testing.assert_allclose(loss_8, loss_1, rtol=5e-4)
+    flat_1, t1 = jax.tree_util.tree_flatten_with_path(grads_1)
+    flat_8, t2 = jax.tree_util.tree_flatten_with_path(grads_8)
+    assert t1 == t2
+    for (path, a), (_, b) in zip(flat_1, flat_8):
+        scale = max(1e-3, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-4 * scale,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_scatter_grad_volume_vs_numpy():
     """The raw kernel against a literal numpy scatter-add oracle,
     including flat %% 8 == 7 keys (the odd-corner carry into row+1)."""
