@@ -93,6 +93,7 @@ def bench_train_step(args) -> float:
         "patch.size", "32", "patch.N_patches", "6",
         "train.lossweights.lpips", "1.0", "train.lossweights.mse", "0.2",
         "train.remat", args.train_remat,
+        "pallas.scatter", args.train_scatter,
     ])
     cfg.logdir = tempfile.mkdtemp()
     cfg.resume = False
@@ -131,6 +132,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--train-dtype", default="bfloat16")
     ap.add_argument("--train-remat", default="True")
+    ap.add_argument("--train-scatter", default="True",
+                    help="pallas.scatter for the train step (A/B the "
+                         "Pallas scatter backward vs XLA scatter-add)")
     ap.add_argument("--skip-f32", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()

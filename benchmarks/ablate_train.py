@@ -21,6 +21,9 @@ ABLATIONS = [
     ("rs_blk_1024", {"pallas.resample_block": "1024"}),
     ("no_pallas_mlp", {"pallas.mlp": "False"}),
     ("no_pallas_resample", {"pallas.resample": "False"}),
+    ("no_pallas_scatter", {"pallas.scatter": "False"}),
+    ("scatter_blk2048", {"pallas.scatter_block": "2048"}),
+    ("scatter_win512", {"pallas.scatter_window": "512"}),
     ("no_lpips", {"train.lossweights.lpips": "0.0",
                   "train.lossweights.mse": "1.0"}),
     ("no_remat", {"train.remat": "False"}),
