@@ -110,6 +110,9 @@ def default_config() -> CN:
         "render_frames": 100,
         "eval_iter": 10_000_000,
         "eval_output_tag": "",
+        # overrides the render output folder name (default: the run type;
+        # reference run.py passes render_folder_name through every run_*)
+        "render_folder_name": "",
         "sex": "neutral",
         "total_bones": 24,
         "bbox_offset": 0.3,

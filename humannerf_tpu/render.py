@@ -38,10 +38,34 @@ def load_network(cfg):
     return net, params
 
 
-def run(cfg, run_type: str):
+def resolve_render_mode(cfg, run_type: str, environ=None):
+    """Output folder name + non-rigid gating per run type.
+
+    tpose renders the canonical pose without the non-rigid field
+    (run.py:167-172); tpose_pose_condition likewise unless
+    FORCE_NON_RIGID_MOTIONS=1, which keeps the delta and renders into a
+    '_w-delta' folder (run.py:175-188). cfg.render_folder_name overrides
+    the folder in every mode."""
+    environ = os.environ if environ is None else environ
+    named = cfg.get_path("render_folder_name", "")
+    folder = named or run_type
+    ignore_nr = bool(cfg.ignore_non_rigid_motions)
     if run_type == "tpose":
-        # canonical rendering skips the non-rigid field (run.py:167-172)
-        cfg.ignore_non_rigid_motions = True
+        ignore_nr = True
+    elif run_type == "tpose_pose_condition":
+        if int(environ.get("FORCE_NON_RIGID_MOTIONS", 0)) == 1:
+            if not named:
+                folder = run_type + "_w-delta"
+        else:
+            ignore_nr = True
+    return folder, ignore_nr
+
+
+def run(cfg, run_type: str):
+    folder, cfg.ignore_non_rigid_motions = resolve_render_mode(cfg, run_type)
+    # RETURN_POSE=true dumps each frame's refined pose (run.py:241,347,442)
+    return_pose = os.environ.get("RETURN_POSE", "False").lower() == "true"
+    pose_dump = {}
     net, params = load_network(cfg)
     from humannerf_tpu.parallel import mesh as mesh_lib
     mesh = mesh_lib.make_mesh()
@@ -51,7 +75,7 @@ def run(cfg, run_type: str):
     loader = Loader(dataset, shuffle=False, prefetch=2)
 
     out_dir = os.path.join(cfg.logdir, cfg.load_net + cfg.eval_output_tag)
-    writer = ImageWriter(out_dir, run_type)
+    writer = ImageWriter(out_dir, folder)
 
     # multihead eval: head_id -1 renders every head (run.py:75-82)
     multi = cfg.multihead.head_num > 1 and cfg.test.head_id == -1
@@ -59,7 +83,7 @@ def run(cfg, run_type: str):
         "select" if cfg.multihead.head_num > 1 else "single")
     head_writers = None
     if multi:
-        head_writers = [ImageWriter(out_dir + f"_h{h}", run_type)
+        head_writers = [ImageWriter(out_dir + f"_h{h}", folder)
                         for h in range(cfg.multihead.head_num)]
 
     # one LPIPS net shared by every writer (per-head copies would load and
@@ -72,7 +96,7 @@ def run(cfg, run_type: str):
         if lpips_fn is not None:
             kw = {"lpips_fn": lpips_fn,
                   "lpips_trunk": lpips_trunk_kind(cfg.lpips.weights)}
-        return MetricsWriter(d, run_type,
+        return MetricsWriter(d, folder,
                              dataset=cfg[run_type].get("dataset", "?"),
                              metrics=cfg.eval.metrics, **kw)
 
@@ -98,6 +122,12 @@ def run(cfg, run_type: str):
         W, H = item["img_width"], item["img_height"]
         truth = item.get("target_rgbs")
         name = item.get("frame_name", f"{step:06d}").replace("/", "-")
+        if return_pose and not cfg.pose_decoder_off:
+            from humannerf_tpu.models import mlps
+            po = mlps.apply_pose_refiner(
+                params["pose_decoder"], item["dst_posevec"],
+                total_bones=cfg.total_bones, dtype=net.compute_dtype)
+            pose_dump[name] = jax.tree.map(np.asarray, po)
         heads = range(cfg.multihead.head_num) if multi else (None,)
         for h in heads:
             o = jax.tree.map(lambda x: x[h], out) if multi else out
@@ -147,6 +177,12 @@ def run(cfg, run_type: str):
 
     if save_together:
         writer.save_pkl(save_together, "name-2-3d")
+    if pose_dump:
+        import pickle
+        with open(os.path.join(out_dir,
+                               f"{folder}-pose_refine_output.pkl"),
+                  "wb") as f:
+            pickle.dump(pose_dump, f)
     writer.finalize()
     if head_writers:
         for w_ in head_writers:

@@ -88,3 +88,24 @@ def test_every_shipped_yaml_instantiates():
             if isinstance(sub, CN) and "dataset" in sub:
                 args = get_dataset_args(cfg, sub.dataset)
                 assert args["dataset_path"], (y, rt)
+
+
+def test_resolve_render_mode():
+    """Run-type folder/non-rigid gating incl. the FORCE_NON_RIGID_MOTIONS
+    escape hatch (reference run.py:167-188)."""
+    from humannerf_tpu.config import make_cfg
+    from humannerf_tpu.render import resolve_render_mode
+    cfg = make_cfg(opts=[])
+
+    assert resolve_render_mode(cfg, "movement", {}) == ("movement", False)
+    assert resolve_render_mode(cfg, "tpose", {}) == ("tpose", True)
+    assert resolve_render_mode(cfg, "tpose_pose_condition", {}) == \
+        ("tpose_pose_condition", True)
+    assert resolve_render_mode(
+        cfg, "tpose_pose_condition", {"FORCE_NON_RIGID_MOTIONS": "1"}) == \
+        ("tpose_pose_condition_w-delta", False)
+    cfg.render_folder_name = "custom"
+    assert resolve_render_mode(cfg, "movement", {}) == ("custom", False)
+    assert resolve_render_mode(
+        cfg, "tpose_pose_condition", {"FORCE_NON_RIGID_MOTIONS": "1"}) == \
+        ("custom", False)
