@@ -63,7 +63,10 @@ def resolve_render_mode(cfg, run_type: str, environ=None):
 
 def run(cfg, run_type: str):
     folder, cfg.ignore_non_rigid_motions = resolve_render_mode(cfg, run_type)
-    # RETURN_POSE=true dumps each frame's refined pose (run.py:241,347,442)
+    # RETURN_POSE=true dumps each frame's refined pose (run.py:241,347,442).
+    # Upstream the dict construction is commented out (network.py:678-686,
+    # so the env toggle raises UnboundLocalError there); we dump the intended
+    # payload: the pose decoder's correction output per frame.
     return_pose = os.environ.get("RETURN_POSE", "False").lower() == "true"
     pose_dump = {}
     net, params = load_network(cfg)
