@@ -77,6 +77,20 @@ def main():
     ms_full = amort(lambda: full(params, frame, rays))
     report("full", ms_full)
 
+    # empty-space-skip ablation: off / on-unordered / on+reorder
+    def full_variant(name, *opts):
+        cfgv = make_cfg(opts=["N_samples", str(S), "dtype", args.dtype,
+                              *opts])
+        netv = HumanNeRF(cfgv)
+
+        @jax.jit
+        def f(p, fr, r):
+            return netv.render_rays(p, fr, r, iv)["rgb"].sum()
+        report(name, amort(lambda: f(params, frame, rays)))
+
+    full_variant("full-noskip", "pallas.skip_empty", "False")
+    full_variant("full-noreord", "pallas.skip_reorder", "False")
+
     # with the Pallas compositor
     cfg2 = make_cfg(opts=["N_samples", str(S), "dtype", args.dtype,
                           "pallas.composite", "True"])
@@ -130,9 +144,17 @@ def main():
 
     x_skel, fg, _ = jax.jit(lambda v, p: sample_packed_volume(
         v, p, ctx["obs_min"], ctx["obs_max"]))(vol, pts_flat)
-    occ = float((np.asarray(fg).reshape(-1) > 1e-4).mean())
+    fg_np = np.asarray(fg).reshape(-1).astype(np.float32)
+    occ = float((fg_np > 0).mean())
     print(f"# fg occupancy: {occ:.3f} of samples are non-empty "
           f"(empty-space-skip headroom {1/max(occ,1e-3):.1f}x)", flush=True)
+    # block-level coherence: fraction of fully-empty fwd blocks decides
+    # in-kernel @pl.when skip (needs coherence) vs compaction (doesn't)
+    for blk in (512, 1024, 2048):
+        nb = fg_np.size // blk
+        bmax = fg_np[:nb * blk].reshape(nb, blk).max(axis=1)
+        print(f"# fully-empty {blk}-sample blocks: "
+              f"{float((bmax == 0).mean()):.3f}", flush=True)
 
     # fused MLP on precomputed x_skel
     plan = net.pallas_mlp_plans[0]
@@ -149,6 +171,14 @@ def main():
                 blk_bwd=512).sum()
         ms_mlp = amort(lambda: mlp(x_skel, sub, cc))
         report("mlp", ms_mlp)
+
+        @jax.jit
+        def mlp_skip(x, p, c, f):
+            return pallas_mlp.query_points_fused(
+                plan, p, x, ctx["hann_alpha"], c, blk_fwd=2048,
+                blk_bwd=512, fg=f, reorder=True).sum()
+        report("mlp+skip", amort(lambda: mlp_skip(x_skel, sub, cc,
+                                                  fg.reshape(-1))))
     else:
         ms_mlp = float("nan")
         print("# no pallas MLP plan for this config", flush=True)

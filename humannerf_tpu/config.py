@@ -373,11 +373,17 @@ def default_config() -> CN:
         #   scatter: train-time packed-volume sample whose backward scatters
         #            the volume cotangent via a windowed one-hot MXU kernel
         #            (ops/pallas_scatter.py) instead of XLA's scatter-add
+        #   skip_empty: exact empty-space skip inside the MLP kernel --
+        #            sample blocks whose fg likelihood is <= skip_eps
+        #            everywhere bypass the matmul chain (the compositor
+        #            multiplies alpha by fg, so they contribute nothing)
         "pallas": {"composite": False, "mlp": True, "mlp_interpret": False,
                    "mlp_block": 2048, "mlp_block_bwd": 512,
                    "resample": True, "resample_block": 512,
                    "scatter": True, "scatter_block": 1024,
-                   "scatter_window": 256},
+                   "scatter_window": 256,
+                   "skip_empty": True, "skip_eps": 0.0,
+                   "skip_reorder": True},
         "warp": {"mode": "fused", "grid_size": 48, "packed": True,
                  "include_bone_weights": False, "bbox_margin": 0.05},
     })

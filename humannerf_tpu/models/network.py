@@ -717,9 +717,19 @@ class HumanNeRF:
             sub = {k: params[k] for k in ("non_rigid_mlp", "cnl_mlp")
                    if k in params}
 
-            def fq(x, p, alpha, c):
+            # exact empty-space skip: blocks with fg==0 everywhere never
+            # reach the MXU (raw2outputs multiplies alpha by fg, so those
+            # samples contribute nothing forward or backward)
+            fg_skip = jax.lax.stop_gradient(fg.reshape(-1)) \
+                if cfg.get_path("pallas.skip_empty", True) \
+                else jnp.ones_like(x_skel[:, 0])
+            skip_eps = float(cfg.get_path("pallas.skip_eps", 0.0))
+            skip_reorder = bool(cfg.get_path("pallas.skip_reorder", True))
+
+            def fq(x, p, alpha, c, f):
                 return pallas_mlp.query_points_fused(
-                    plan, p, x, alpha, c, blk_fwd=blkf, blk_bwd=blkb)
+                    plan, p, x, alpha, c, blk_fwd=blkf, blk_bwd=blkb,
+                    fg=f, skip_eps=skip_eps, reorder=skip_reorder)
 
             mesh = self.data_mesh
             if mesh is not None and mesh.devices.size > 1:
@@ -728,7 +738,8 @@ class HumanNeRF:
                 # pallas_call on its own
                 from jax.sharding import PartitionSpec as P
                 sm_kw = dict(mesh=mesh,
-                             in_specs=(P("data"), P(), P(), P()),
+                             in_specs=(P("data"), P(), P(), P(),
+                                       P("data")),
                              out_specs=P("data"))
                 try:
                     from jax import shard_map
@@ -736,7 +747,7 @@ class HumanNeRF:
                 except (ImportError, TypeError):   # older jax API
                     from jax.experimental.shard_map import shard_map
                     fq = shard_map(fq, check_rep=False, **sm_kw)
-            raw = fq(x_skel, sub, ctx["hann_alpha"], cc)
+            raw = fq(x_skel, sub, ctx["hann_alpha"], cc, fg_skip)
             xyz = offsets = None   # full_outputs excluded above
         else:
             def query(p, c, x, bw, de):

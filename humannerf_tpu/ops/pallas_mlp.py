@@ -304,16 +304,27 @@ def _forward_pass(plan: Plan, x, hw, kw, keep_acts: bool):
     return raw, acts
 
 
-def _fwd_kernel(plan: Plan, xp_ref, hw_ref, *rest):
+def _fwd_kernel(plan: Plan, live_ref, xp_ref, hw_ref, *rest):
     raw_ref = rest[-1]
-    kw = [r[:] for r in rest[:-1]]
-    x = _unpack_cols(xp_ref[:])                         # (blk, 3)
-    hw = hw_ref[:] if hw_ref is not None else None
-    raw, _ = _forward_pass(plan, x, hw, kw, keep_acts=False)
-    raw_ref[:] = _pack_cols(raw)                        # (4, blk)
+    live = live_ref[pl.program_id(0)]
+
+    # Empty-space skip: fg==0 samples contribute exactly nothing downstream
+    # (raw2outputs multiplies alpha by fg), so blocks whose fg is all zero
+    # write raw=0 (sigma relu(0)=0 -> alpha 0) and skip the matmul chain.
+    @pl.when(live > 0)
+    def _compute():
+        kw = [r[:] for r in rest[:-1]]
+        x = _unpack_cols(xp_ref[:])                     # (blk, 3)
+        hw = hw_ref[:] if hw_ref is not None else None
+        raw, _ = _forward_pass(plan, x, hw, kw, keep_acts=False)
+        raw_ref[:] = _pack_cols(raw)                    # (4, blk)
+
+    @pl.when(live == 0)
+    def _skip():
+        raw_ref[:] = jnp.zeros_like(raw_ref)
 
 
-def _bwd_kernel(plan: Plan, xp_ref, hw_ref, g_ref, *rest):
+def _bwd_kernel(plan: Plan, live_ref, xp_ref, hw_ref, g_ref, *rest):
     """Recompute forward, backprop, accumulate dW in VMEM-resident outputs."""
     n_w = plan.n_tensors()
     w_refs = rest[:n_w]
@@ -326,6 +337,22 @@ def _bwd_kernel(plan: Plan, xp_ref, hw_ref, g_ref, *rest):
         for r in dw_refs:
             r[:] = jnp.zeros_like(r)
 
+    # fg==0 blocks carry exactly-zero cotangents (alpha = alpha*fg kills
+    # both the rgb and sigma paths), so the recompute+backprop is skipped
+    # and their dx / dW contributions are exact zeros.
+    live = live_ref[pl.program_id(0)]
+
+    @pl.when(live == 0)
+    def _dead():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    @pl.when(live > 0)
+    def _body():
+        _bwd_block(plan, xp_ref, hw_ref, g_ref, w_refs, dx_ref, dw_refs, dt)
+
+
+def _bwd_block(plan: Plan, xp_ref, hw_ref, g_ref, w_refs, dx_ref, dw_refs,
+               dt):
     kw = [r[:] for r in w_refs]
     x = _unpack_cols(xp_ref[:])                         # (blk, 3)
     hw = hw_ref[:] if hw_ref is not None else None
@@ -416,20 +443,24 @@ def _bwd_kernel(plan: Plan, xp_ref, hw_ref, g_ref, *rest):
 
 
 def _t_spec(blk, ncol):
-    """Transposed (ncol, N) arrays, blocked along the sample (lane) dim."""
-    return pl.BlockSpec((ncol, blk), lambda i: (0, i),
+    """Transposed (ncol, N) arrays, blocked along the sample (lane) dim.
+
+    Index maps take (i, live_ref): scalar-prefetch operands are appended
+    to every index map's arguments by PrefetchScalarGridSpec.
+    """
+    return pl.BlockSpec((ncol, blk), lambda i, *_: (0, i),
                         memory_space=pltpu.VMEM)
 
 
 def _const_spec(shape):
     nd = len(shape)
-    return pl.BlockSpec(shape, lambda i: (0,) * nd,
+    return pl.BlockSpec(shape, lambda i, *_: (0,) * nd,
                         memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("plan_key", "blk", "interpret"))
-def _fwd_call(xp, hw, kw, *, plan_key, blk, interpret):
+def _fwd_call(xp, hw, kw, live, *, plan_key, blk, interpret):
     plan = _PLANS[plan_key]
     N = xp.shape[1]
     grid = (N // blk,)
@@ -441,23 +472,25 @@ def _fwd_call(xp, hw, kw, *, plan_key, blk, interpret):
     in_specs += [_const_spec(w.shape) for w in kw]
     args += list(kw)
 
-    def kern(*refs):
+    def kern(live_ref, *refs):
         if plan.skip_nr:
-            _fwd_kernel(plan, refs[0], None, *refs[1:])
+            _fwd_kernel(plan, live_ref, refs[0], None, *refs[1:])
         else:
-            _fwd_kernel(plan, *refs)
+            _fwd_kernel(plan, live_ref, *refs)
 
     return pl.pallas_call(
-        kern, grid=grid, in_specs=in_specs,
-        out_specs=_t_spec(blk, 4),
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=_t_spec(blk, 4)),
         out_shape=jax.ShapeDtypeStruct((4, N), jnp.float32),
         interpret=interpret,
-    )(*args)
+    )(live, *args)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("plan_key", "blk", "interpret"))
-def _bwd_call(xp, hw, kw, gp, *, plan_key, blk, interpret):
+def _bwd_call(xp, hw, kw, gp, live, *, plan_key, blk, interpret):
     plan = _PLANS[plan_key]
     N = xp.shape[1]
     grid = (N // blk,)
@@ -479,18 +512,23 @@ def _bwd_call(xp, hw, kw, gp, *, plan_key, blk, interpret):
         out_specs.append(_const_spec(w.shape))
         out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
 
-    def kern(*refs):
+    def kern(live_ref, *refs):
         n_in = len(in_specs)
         ins, outs = refs[:n_in], refs[n_in:]
         if plan.skip_nr:
-            _bwd_kernel(plan, ins[0], None, ins[1], *ins[2:], *outs)
+            _bwd_kernel(plan, live_ref, ins[0], None, ins[1], *ins[2:],
+                        *outs)
         else:
-            _bwd_kernel(plan, ins[0], ins[1], ins[2], *ins[3:], *outs)
+            _bwd_kernel(plan, live_ref, ins[0], ins[1], ins[2], *ins[3:],
+                        *outs)
 
     outs = pl.pallas_call(
-        kern, grid=grid, in_specs=in_specs, out_specs=tuple(out_specs),
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=tuple(out_specs)),
         out_shape=tuple(out_shape), interpret=interpret,
-    )(*args)
+    )(live, *args)
     return outs[0], tuple(outs[1:])
 
 
@@ -504,29 +542,39 @@ def register_plan(plan: Plan):
     return plan.key()
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_query_packed(xp, hw, kw, plan_key, blk_fwd, blk_bwd):
-    """Transposed-boundary op: xp (3, N), hw (1, E) -> raw (4, N)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_query_packed(xp, hw, kw, live_f, live_b, plan_key, blk_fwd,
+                        blk_bwd):
+    """Transposed-boundary op: xp (3, N), hw (1, E) -> raw (4, N).
+
+    live_f / live_b: (N/blk_fwd,) / (N/blk_bwd,) int32 block-liveness
+    vectors (scalar-prefetched); 0-blocks skip compute exactly.
+    """
     interpret = jax.default_backend() != "tpu"
-    return _fwd_call(xp, hw, kw, plan_key=plan_key, blk=blk_fwd,
+    return _fwd_call(xp, hw, kw, live_f, plan_key=plan_key, blk=blk_fwd,
                      interpret=interpret)
 
 
-def _fused_query_fwd(xp, hw, kw, plan_key, blk_fwd, blk_bwd):
-    out = _fused_query_packed(xp, hw, kw, plan_key, blk_fwd, blk_bwd)
-    return out, (xp, hw, kw)
+def _fused_query_fwd(xp, hw, kw, live_f, live_b, plan_key, blk_fwd,
+                     blk_bwd):
+    out = _fused_query_packed(xp, hw, kw, live_f, live_b, plan_key,
+                              blk_fwd, blk_bwd)
+    return out, (xp, hw, kw, live_b)
 
 
 def _fused_query_bwd(plan_key, blk_fwd, blk_bwd, res, gp):
-    xp, hw, kw = res
+    xp, hw, kw, live_b = res
     interpret = jax.default_backend() != "tpu"
-    dxp, dkw = _bwd_call(xp, hw, kw, gp, plan_key=plan_key, blk=blk_bwd,
-                         interpret=interpret)
+    dxp, dkw = _bwd_call(xp, hw, kw, gp, live_b, plan_key=plan_key,
+                         blk=blk_bwd, interpret=interpret)
     # weight grads back to the primal dtypes (weights enter in the compute
     # dtype, biases f32); hann window is an iteration schedule, not a param
     dkw_cast = tuple(dv.astype(w.dtype) for dv, w in zip(dkw, kw))
     dhw = jnp.zeros_like(hw) if hw is not None else None
-    return dxp, dhw, dkw_cast
+    dlive = np.zeros((), jax.dtypes.float0)  # int primals: float0 tangents
+    return (dxp, dhw, dkw_cast,
+            np.broadcast_to(dlive, (xp.shape[1] // blk_fwd,)),
+            np.broadcast_to(dlive, (xp.shape[1] // blk_bwd,)))
 
 
 _fused_query_packed.defvjp(_fused_query_fwd, _fused_query_bwd)
@@ -569,11 +617,25 @@ def plan_from_cfg(cfg, compute_dtype, skip_nr: bool) -> Plan | None:
 
 def query_points_fused(plan: Plan, params, x_skel, hann_alpha,
                        condition_code, blk_fwd: int = 2048,
-                       blk_bwd: int = 512):
+                       blk_bwd: int = 512, fg=None, skip_eps: float = 0.0,
+                       reorder: bool = False):
     """Full fused query -> raw (N, 4).
 
     x_skel (N, 3); hann_alpha: traced scalar (ignored when plan.skip_nr).
     Pads N to a block multiple internally.
+
+    fg: optional (N,) foreground likelihood. Blocks where fg <= skip_eps
+    everywhere are skipped EXACTLY (raw := 0 there): the compositor
+    multiplies alpha by fg, so fg==0 samples contribute nothing to either
+    the output or the cotangents. Padding rows count as empty.
+
+    reorder: stable-partition samples (live first) before the kernel and
+    invert afterwards, so dead blocks concentrate even when emptiness is
+    not block-coherent (a ray's fg>0 samples cluster in a z-band, so raw
+    sample order rarely yields fully-dead blocks). Exact: a bijective
+    permutation, gradients flow through the gathers. Called inside any
+    shard_map region, so the partition is per-device and load stays
+    balanced.
     """
     if blk_fwd % LANES or blk_bwd % LANES:
         raise ValueError(
@@ -599,7 +661,37 @@ def query_points_fused(plan: Plan, params, x_skel, hann_alpha,
     if pad:
         x_skel = jnp.concatenate(
             [x_skel, jnp.zeros((pad, 3), x_skel.dtype)], axis=0)
+    Np = N + pad
+    dst = None
+    if fg is not None:
+        fgf = jax.lax.stop_gradient(fg).reshape(-1).astype(jnp.float32)
+        if pad:
+            fgf = jnp.concatenate([fgf, jnp.zeros((pad,), jnp.float32)])
+        if reorder:
+            # stable partition: live samples first. dst[i] = slot of sample
+            # i; perm = its inverse (slot -> sample). Cheaper than a sort:
+            # two cumsums + one unique-index scatter.
+            alive = fgf > skip_eps
+            pos_live = jnp.cumsum(alive.astype(jnp.int32)) - 1
+            n_live = pos_live[-1] + 1
+            pos_dead = n_live + jnp.cumsum(
+                (~alive).astype(jnp.int32)) - 1
+            dst = jnp.where(alive, pos_live, pos_dead)
+            perm = jnp.zeros((Np,), jnp.int32).at[dst].set(
+                jnp.arange(Np, dtype=jnp.int32), unique_indices=True)
+            x_skel = x_skel[perm]
+            fgf = fgf[perm]
+        live_f = (fgf.reshape(Np // blk, blk).max(axis=1)
+                  > skip_eps).astype(jnp.int32)
+        live_b = (fgf.reshape(Np // blk_b, blk_b).max(axis=1)
+                  > skip_eps).astype(jnp.int32)
+    else:
+        live_f = jnp.ones((Np // blk,), jnp.int32)
+        live_b = jnp.ones((Np // blk_b,), jnp.int32)
     xp = x_skel.astype(jnp.float32).T                  # (3, Np) compact
-    rawp = _fused_query_packed(xp, hw, kw, plan.key(), blk, blk_b)
+    rawp = _fused_query_packed(xp, hw, kw, live_f, live_b, plan.key(),
+                               blk, blk_b)
     raw = rawp.T                                       # (Np, 4)
+    if dst is not None:
+        raw = raw[dst]                                 # undo the partition
     return raw[:N] if pad else raw

@@ -117,6 +117,90 @@ def test_grad_parity_f32(setup):
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_skip_empty_forward(setup):
+    """fg==0 blocks write raw=0; live blocks match the reference exactly."""
+    params, x, cc, alpha = setup
+    plan = _plan(jnp.float32)
+    fg = jnp.ones((256,), jnp.float32)
+    fg = fg.at[128:].set(0.0)          # second 128-block fully dead
+    ref = _ref_forward(params, x, cc, alpha, jnp.float32)
+    out = pallas_mlp.query_points_fused(plan, params, x, alpha, cc,
+                                        blk_fwd=128, blk_bwd=128, fg=fg)
+    np.testing.assert_allclose(np.asarray(out[:128]), np.asarray(ref[:128]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out[128:]),
+                                  np.zeros((128, 4), np.float32))
+    # a block with a single live sample stays fully live
+    fg2 = jnp.zeros((256,), jnp.float32).at[200].set(0.3)
+    out2 = pallas_mlp.query_points_fused(plan, params, x, alpha, cc,
+                                         blk_fwd=128, blk_bwd=128, fg=fg2)
+    np.testing.assert_allclose(np.asarray(out2[128:]),
+                               np.asarray(ref[128:]), rtol=1e-5, atol=1e-5)
+
+
+def test_skip_empty_grads(setup):
+    """With cotangents zeroed on dead samples (as the compositor's
+    alpha*fg guarantees), grads with skipping == grads without."""
+    params, x, cc, alpha = setup
+    plan = _plan(jnp.float32)
+    fg = jnp.ones((256,), jnp.float32).at[:128].set(0.0)
+    cot = jax.random.normal(jax.random.key(3), (256, 4))
+    cot = cot * (fg > 0)[:, None]      # exactly what alpha*fg produces
+
+    def loss(p, xs, c, f):
+        out = pallas_mlp.query_points_fused(plan, p, xs, alpha, c,
+                                            blk_fwd=128, blk_bwd=128, fg=f)
+        return jnp.sum(out * cot)
+
+    g_skip = jax.grad(loss, argnums=(0, 1, 2))(params, x, cc, fg)
+    g_full = jax.grad(loss, argnums=(0, 1, 2))(params, x, cc, None)
+    flat_s, t1 = jax.tree_util.tree_flatten_with_path(g_skip)
+    flat_f, t2 = jax.tree_util.tree_flatten_with_path(g_full)
+    assert t1 == t2
+    for (path, a), (_, b) in zip(flat_s, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_skip_reorder_parity(setup):
+    """The live-first stable partition is a bijection: forward output and
+    grads are identical (not just close) to the unordered skip path."""
+    params, x, cc, alpha = setup
+    # interleaved dead samples: raw order yields NO fully-dead 128-blocks,
+    # reorder concentrates the 50% dead samples into dead blocks
+    fg = (jnp.arange(256) % 2).astype(jnp.float32)
+    cot = jax.random.normal(jax.random.key(3), (256, 4)) * (fg > 0)[:, None]
+    plan = _plan(jnp.float32)
+
+    def run(reorder):
+        def loss(p, xs, c):
+            out = pallas_mlp.query_points_fused(
+                plan, p, xs, alpha, c, blk_fwd=128, blk_bwd=128, fg=fg,
+                reorder=reorder)
+            return jnp.sum(out * cot), out
+        (l, out), g = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                         has_aux=True)(params, x, cc)
+        return out, g
+
+    out_r, g_r = run(True)
+    out_n, g_n = run(False)
+    live = np.asarray(fg > 0)
+    # forward per-sample values are bitwise-independent of block position
+    np.testing.assert_allclose(np.asarray(out_r)[live],
+                               np.asarray(out_n)[live], rtol=1e-6, atol=1e-6)
+    # dW sums are reassociated by the permutation -> f32 rounding-level
+    # differences only (same tolerance family as test_grad_parity_f32)
+    flat_r, t1 = jax.tree_util.tree_flatten_with_path(g_r)
+    flat_n, t2 = jax.tree_util.tree_flatten_with_path(g_n)
+    assert t1 == t2
+    for (path, a), (_, b) in zip(flat_r, flat_n):
+        scale = max(1e-3, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4 * scale,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_uneven_n_padding(setup):
     params, x, cc, alpha = setup
     plan = _plan(jnp.float32)
