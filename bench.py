@@ -94,6 +94,7 @@ def bench_train_step(args) -> float:
         "train.lossweights.lpips", "1.0", "train.lossweights.mse", "0.2",
         "train.remat", args.train_remat,
         "pallas.scatter", args.train_scatter,
+        "pallas.skip_empty", args.skip_empty,
     ])
     cfg.logdir = tempfile.mkdtemp()
     cfg.resume = False
@@ -135,6 +136,9 @@ def main():
     ap.add_argument("--train-scatter", default="True",
                     help="pallas.scatter for the train step (A/B the "
                          "Pallas scatter backward vs XLA scatter-add)")
+    ap.add_argument("--skip-empty", default="True",
+                    help="pallas.skip_empty for the train step (A/B the "
+                         "exact empty-block skip in the MLP kernel)")
     ap.add_argument("--skip-f32", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()

@@ -386,6 +386,11 @@ def default_config() -> CN:
                    "skip_reorder": True},
         "warp": {"mode": "fused", "grid_size": 48, "packed": True,
                  "include_bone_weights": False, "bbox_margin": 0.05},
+        # host-side per-frame caches (data layer): decoded+undistorted
+        # images (~1.5 MB/frame at 512px) and ray-bbox intersection results
+        # (~2 MB/frame). Both are deterministic per frame; at 9+ it/s the
+        # host pipeline must keep up with the chip. 0 disables.
+        "host_cache": {"decoded": 1024, "isect": 1024},
     })
 
 

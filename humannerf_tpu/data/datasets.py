@@ -64,6 +64,30 @@ def _parse_frame_camera(name: str):
     return int(stem), 0
 
 
+class _LRU:
+    """Tiny bounded cache for deterministic per-frame host work. dict ops
+    are GIL-atomic, so the prefetch worker and the main thread can share it
+    (worst case: a duplicated recompute)."""
+
+    def __init__(self, max_items: int):
+        self.max_items = int(max_items)
+        self._d = {}
+
+    def get(self, key):
+        v = self._d.pop(key, None)
+        if v is not None:
+            self._d[key] = v            # refresh recency
+        return v
+
+    def put(self, key, value):
+        if self.max_items <= 0:
+            return value
+        while len(self._d) >= self.max_items:
+            self._d.pop(next(iter(self._d)))
+        self._d[key] = value
+        return value
+
+
 class BaseHumanDataset:
     """Shared loading of canonical joints, bone prior, cameras, mesh infos."""
 
@@ -71,6 +95,12 @@ class BaseHumanDataset:
         self.cfg = cfg
         self.dataset_path = dataset_path
         self.keyfilter = keyfilter or []
+        # deterministic per-frame host work (decode/undistort; ray-bbox
+        # intersections) is recomputed every epoch by the reference; at
+        # 9+ it/s on one chip the host pipeline must keep up, so both are
+        # cached (bounded; ~1.5 MB/frame decoded at 512px)
+        self._decode_cache = _LRU(cfg.get_path("host_cache.decoded", 1024))
+        self._isect_cache = _LRU(cfg.get_path("host_cache.isect", 4096))
         with open(os.path.join(dataset_path, "canonical_joints.pkl"), "rb") as f:
             self.canonical_joints = pickle.load(f)["joints"].astype(np.float32)
         self.canonical_bbox = skeleton_to_bbox(self.canonical_joints,
@@ -175,8 +205,12 @@ class Dataset(BaseHumanDataset):
 
     # -- image loading -------------------------------------------------------
 
-    def load_image(self, frame_name, bg_color):
-        cfg = self.cfg
+    def _decode_frame(self, frame_name):
+        """Disk -> post-undistort (img, mask) arrays; deterministic, cached.
+        Cached arrays are frozen -- every consumer below copies on write."""
+        hit = self._decode_cache.get(frame_name)
+        if hit is not None:
+            return hit
         if self.source_path is None:
             img_path = os.path.join(self.image_dir, frame_name + ".png")
             mask = np.array(load_image(
@@ -194,7 +228,13 @@ class Dataset(BaseHumanDataset):
             K, D = cam["intrinsics"], cam["distortions"]
             img = cv2.undistort(img, K, D)
             mask = cv2.undistort(mask, K, D)
+        img.flags.writeable = False
+        mask.flags.writeable = False
+        return self._decode_cache.put(frame_name, (img, mask))
 
+    def load_image(self, frame_name, bg_color):
+        cfg = self.cfg
+        img, mask = self._decode_frame(frame_name)
         mask = mask / 255.0
         img = self._color_perturb_per_view(img, frame_name)
         img = mask * img + (1.0 - mask) * bg_color[None, None, :]
@@ -238,10 +278,12 @@ class Dataset(BaseHumanDataset):
 
     # -- patch sampling --------------------------------------------------------
 
-    def _sample_patch(self, candidate_mask, ray_mask_flat, patch_size, H, W):
+    def _sample_patch(self, candidate_mask, ray_mask_flat, masked_indices,
+                      patch_size, H, W):
         """One patch: random center in candidate_mask, clipped to the image.
         Returns (ray slot indices into the masked-ray array, patch pixel mask,
-        xy_min, xy_max). Reference train.py:293-340."""
+        xy_min, xy_max). Reference train.py:293-340. masked_indices is the
+        caller's cumsum(ray_mask)-1 (hoisted: it is patch-independent)."""
         ys, xs = np.where(candidate_mask)
         pick = self.rng.randint(len(ys))
         cx, cy = xs[pick], ys[pick]
@@ -250,13 +292,10 @@ class Dataset(BaseHumanDataset):
         y_min = np.clip(cy - half, 0, H - patch_size)
         x_max, y_max = x_min + patch_size, y_min + patch_size
 
-        sel = np.zeros((H, W), dtype=bool)
-        sel[y_min:y_max, x_min:x_max] = True
-        inter = sel.reshape(-1) & ray_mask_flat
-        masked_indices = np.cumsum(ray_mask_flat) - 1
-        ray_idx = masked_indices[np.where(inter)[0]]
-        patch_mask = inter.reshape(H, W)[y_min:y_max, x_min:x_max]
-        return ray_idx, patch_mask, (x_min, y_min), (x_max, y_max)
+        rm = ray_mask_flat.reshape(H, W)[y_min:y_max, x_min:x_max]
+        mi = masked_indices.reshape(H, W)[y_min:y_max, x_min:x_max]
+        ray_idx = mi[rm]
+        return ray_idx, rm, (x_min, y_min), (x_max, y_max)
 
     def sample_patch_rays(self, img, H, W, subject_mask, ray_mask_flat):
         """N_patches patches; subject area w.p. sample_subject_ratio else
@@ -265,6 +304,7 @@ class Dataset(BaseHumanDataset):
         n_patches, psize = cfg.patch.N_patches, cfg.patch.size
         bbox_mask = ray_mask_flat.reshape(H, W)
         bbox_not_subject = bbox_mask & ~subject_mask
+        masked_indices = np.cumsum(ray_mask_flat) - 1
 
         select_inds, targets = [], []
         patch_ray_idx = np.full((n_patches, psize, psize), -1, np.int32)
@@ -275,7 +315,7 @@ class Dataset(BaseHumanDataset):
             if not cand.any():
                 cand = subject_mask if subject_mask.any() else bbox_mask
             ray_idx, pmask, (x0, y0), (x1, y1) = self._sample_patch(
-                cand, ray_mask_flat, psize, H, W)
+                cand, ray_mask_flat, masked_indices, psize, H, W)
             slots = np.arange(total, total + len(ray_idx), dtype=np.int32)
             patch_ray_idx[p][pmask] = slots
             total += len(ray_idx)
@@ -384,27 +424,44 @@ class Dataset(BaseHumanDataset):
         poses = info["poses"].astype(np.float32)
         tpose_joints = info["tpose_joints"].astype(np.float32)
 
-        K = self.cameras[frame_name]["intrinsics"][:3, :3].copy()
-        K[:2] *= cfg.resize_img_scale
-        E0 = self.cameras[frame_name]["extrinsics"]
-        _, rays_d_camera = get_rays_from_KRT(H, W, K, E0[:3, :3], E0[:3, 3])
-        E = apply_global_tfm_to_camera(E0, info["Rh"], info["Th"])
-        rays_o, rays_d = get_rays_from_KRT(H, W, K, E[:3, :3], E[:3, 3])
+        cached = self._isect_cache.get(frame_name)
+        if cached is None:
+            K = self.cameras[frame_name]["intrinsics"][:3, :3].copy()
+            K[:2] *= cfg.resize_img_scale
+            E0 = self.cameras[frame_name]["extrinsics"]
+            _, rays_d_camera = get_rays_from_KRT(H, W, K, E0[:3, :3],
+                                                 E0[:3, 3])
+            E = apply_global_tfm_to_camera(E0, info["Rh"], info["Th"])
+            rays_o, rays_d = get_rays_from_KRT(H, W, K, E[:3, :3], E[:3, 3])
+            rays_o = rays_o.reshape(-1, 3)
+            rays_d = rays_d.reshape(-1, 3)
+            rays_d_camera = rays_d_camera.reshape(-1, 3)
+            near, far, ray_mask = rays_intersect_3d_bbox(dst_bbox, rays_o,
+                                                         rays_d)
+            if cfg.experiments.color_perturbation == "per_pixel":
+                # full pre-mask grids, kept only for this experiment
+                rays_d_full, rays_d_camera_full = rays_d, rays_d_camera
+            else:
+                rays_d_full = rays_d_camera_full = None
+            rays_o, rays_d = rays_o[ray_mask], rays_d[ray_mask]
+            rays_d_camera = rays_d_camera[ray_mask]
+            cached = (rays_o, rays_d, rays_d_camera, near, far, ray_mask,
+                      rays_d_full, rays_d_camera_full)
+            for a in cached:
+                if a is not None:
+                    a.flags.writeable = False
+            self._isect_cache.put(frame_name, cached)
+        (rays_o, rays_d, rays_d_camera, near, far, ray_mask,
+         rays_d_full, rays_d_camera_full) = cached
 
         if cfg.experiments.color_perturbation == "per_pixel":
-            d = rays_d_camera if (cfg.experiments
-                                  .color_perturbation_according_to
-                                  == "camera") else rays_d
-            img = self._color_perturb_per_pixel(img, alpha, d)
+            d = rays_d_camera_full if (cfg.experiments
+                                       .color_perturbation_according_to
+                                       == "camera") else rays_d_full
+            img = self._color_perturb_per_pixel(img, alpha,
+                                                d.reshape(H, W, 3))
 
-        ray_img = img.reshape(-1, 3)
-        rays_o = rays_o.reshape(-1, 3)
-        rays_d = rays_d.reshape(-1, 3)
-        rays_d_camera = rays_d_camera.reshape(-1, 3)
-
-        near, far, ray_mask = rays_intersect_3d_bbox(dst_bbox, rays_o, rays_d)
-        rays_o, rays_d = rays_o[ray_mask], rays_d[ray_mask]
-        ray_img, rays_d_camera = ray_img[ray_mask], rays_d_camera[ray_mask]
+        ray_img = img.reshape(-1, 3)[ray_mask]
 
         # view-direction generalization probe: substitute the ray directions
         # of a different training camera (reference TEST_DIR env toggle,

@@ -120,3 +120,39 @@ def test_random_bgcolor_applied(ds_path, cfg):
     b = ds[0]["bgcolor"]
     assert a.shape == (3,)
     assert not np.allclose(a, b)  # fresh random bg per item (train.py:542-545)
+
+
+def test_host_cache_parity(ds_path):
+    """Cached and uncached batches are bitwise identical at the same seed
+    (the decode / ray-intersect caches hold deterministic per-frame work)."""
+    def batches(cache):
+        opts = ["N_samples", "16", "patch.size", "8", "patch.N_patches", "2",
+                "mweight_volume.volume_size", "16"]
+        if not cache:
+            opts += ["host_cache.decoded", "0", "host_cache.isect", "0"]
+        c = make_cfg(opts=opts)
+        ds = Dataset(c, ds_path, keyfilter=c.train_keyfilter,
+                     ray_shoot_mode="patch", bgcolor=None, seed=7)
+        # two epochs: the second pass hits the warm cache
+        return [ds[i % len(ds)] for i in range(2 * len(ds))]
+
+    for a, b in zip(batches(True), batches(False)):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+
+
+def test_host_cache_entries_frozen(ds_path):
+    """Cache consumers must copy-on-write: cached arrays are read-only."""
+    c = make_cfg(opts=["N_samples", "16", "patch.size", "8",
+                       "patch.N_patches", "2",
+                       "mweight_volume.volume_size", "16"])
+    ds = Dataset(c, ds_path, keyfilter=c.train_keyfilter,
+                 ray_shoot_mode="patch", bgcolor=None, seed=0)
+    ds[0]; ds[0]
+    img, mask = ds._decode_frame(ds.framelist[0])
+    assert not img.flags.writeable and not mask.flags.writeable
+    cached = ds._isect_cache.get(ds.framelist[0])
+    assert cached is not None
+    assert all(not a.flags.writeable for a in cached if a is not None)
