@@ -383,7 +383,14 @@ def default_config() -> CN:
                    "scatter": True, "scatter_block": 1024,
                    "scatter_window": 256,
                    "skip_empty": True, "skip_eps": 0.0,
-                   "skip_reorder": True},
+                   # skip_reorder (stable-partition live samples first so
+                   # dead blocks concentrate) is measured NET-NEGATIVE end
+                   # to end on v5e: its 1-D row gathers/scatter at 8.4M
+                   # samples cost ~3.5x the whole render (45.4 -> 12.9 M
+                   # samp/s) and +62 ms on the train step (166 vs 104 ms),
+                   # far more than the skipped blocks save. Off by default;
+                   # the block-level skip itself is free and stays on.
+                   "skip_reorder": False},
         "warp": {"mode": "fused", "grid_size": 48, "packed": True,
                  "include_bone_weights": False, "bbox_margin": 0.05},
         # host-side per-frame caches (data layer): decoded+undistorted

@@ -724,7 +724,7 @@ class HumanNeRF:
                 if cfg.get_path("pallas.skip_empty", True) \
                 else jnp.ones_like(x_skel[:, 0])
             skip_eps = float(cfg.get_path("pallas.skip_eps", 0.0))
-            skip_reorder = bool(cfg.get_path("pallas.skip_reorder", True))
+            skip_reorder = bool(cfg.get_path("pallas.skip_reorder", False))
 
             def fq(x, p, alpha, c, f):
                 return pallas_mlp.query_points_fused(
