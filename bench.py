@@ -58,7 +58,9 @@ def bench_render(args, dtype: str) -> float:
     from humannerf_tpu.models.network import HumanNeRF
     from __graft_entry__ import _synthetic_inputs
 
-    cfg = make_cfg(opts=["N_samples", str(args.samples), "dtype", dtype])
+    cfg = make_cfg(opts=["N_samples", str(args.samples), "dtype", dtype,
+                         "pallas.skip_reorder", args.skip_reorder,
+                         "pallas.skip_group", str(args.skip_group)])
     net = HumanNeRF(cfg)
     params = net.init_params(jax.random.key(0))
     # f32 activations at 64K rays x 128 samples are 8 GB/layer; a 16K-ray
@@ -95,6 +97,8 @@ def bench_train_step(args) -> float:
         "train.remat", args.train_remat,
         "pallas.scatter", args.train_scatter,
         "pallas.skip_empty", args.skip_empty,
+        "pallas.skip_reorder", args.skip_reorder,
+        "pallas.skip_group", str(args.skip_group),
     ])
     cfg.logdir = tempfile.mkdtemp()
     cfg.resume = False
@@ -139,6 +143,12 @@ def main():
     ap.add_argument("--skip-empty", default="True",
                     help="pallas.skip_empty for the train step (A/B the "
                          "exact empty-block skip in the MLP kernel)")
+    ap.add_argument("--skip-reorder", default="train",
+                    help="pallas.skip_reorder (tri-state: train/True/False; "
+                         "'train' = live-first group partition inside "
+                         "training steps only, the shipped default)")
+    ap.add_argument("--skip-group", type=int, default=8,
+                    help="pallas.skip_group partition granularity")
     ap.add_argument("--skip-f32", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()

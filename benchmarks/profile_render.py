@@ -89,7 +89,9 @@ def main():
         report(name, amort(lambda: f(params, frame, rays)))
 
     full_variant("full-noskip", "pallas.skip_empty", "False")
-    full_variant("full-noreord", "pallas.skip_reorder", "False")
+    # default is reorder-off at eval ("train" tri-state): measure the cost
+    # the partition would add to a forward-only render
+    full_variant("full+reord", "pallas.skip_reorder", "True")
 
     # with the Pallas compositor
     cfg2 = make_cfg(opts=["N_samples", str(S), "dtype", args.dtype,

@@ -383,14 +383,20 @@ def default_config() -> CN:
                    "scatter": True, "scatter_block": 1024,
                    "scatter_window": 256,
                    "skip_empty": True, "skip_eps": 0.0,
-                   # skip_reorder (stable-partition live samples first so
-                   # dead blocks concentrate) is measured NET-NEGATIVE end
-                   # to end on v5e: its 1-D row gathers/scatter at 8.4M
-                   # samples cost ~3.5x the whole render (45.4 -> 12.9 M
-                   # samp/s) and +62 ms on the train step (166 vs 104 ms),
-                   # far more than the skipped blocks save. Off by default;
-                   # the block-level skip itself is free and stays on.
-                   "skip_reorder": False},
+                   # skip_reorder: stable-partition live sample GROUPS
+                   # first so dead blocks concentrate (skip_group samples
+                   # per group; row gathers are latency-bound per row, so
+                   # group granularity costs 1/group the gathers of the
+                   # per-sample partition, which measured net-negative:
+                   # ~470 ms at 8.4M samples, 3.5x the whole render).
+                   # "train": reorder only inside training steps -- the
+                   # measured win there (v5e, 6x32^2 patches x 128 samples,
+                   # group 8: 103.2 -> 84.1 ms/step) comes from the 3x
+                   # backward cost of every non-skipped block; eval renders
+                   # (8.4M samples, forward-only) lose more to the permute
+                   # than the skip saves (45.4 -> 36.6 M samp/s), so they
+                   # stay unordered. true/false force it on/off everywhere.
+                   "skip_reorder": "train", "skip_group": 8},
         "warp": {"mode": "fused", "grid_size": 48, "packed": True,
                  "include_bone_weights": False, "bbox_margin": 0.05},
         # host-side per-frame caches (data layer): decoded+undistorted

@@ -724,12 +724,18 @@ class HumanNeRF:
                 if cfg.get_path("pallas.skip_empty", True) \
                 else jnp.ones_like(x_skel[:, 0])
             skip_eps = float(cfg.get_path("pallas.skip_eps", 0.0))
-            skip_reorder = bool(cfg.get_path("pallas.skip_reorder", False))
+            # tri-state: "train" (default) reorders only in training steps,
+            # where the skipped blocks' 3x backward cost pays for the
+            # permute; eval renders are forward-only and lose (config.py)
+            skip_reorder = pallas_mlp.resolve_skip_reorder(
+                cfg.get_path("pallas.skip_reorder", "train"), train)
+            skip_group = int(cfg.get_path("pallas.skip_group", 8))
 
             def fq(x, p, alpha, c, f):
                 return pallas_mlp.query_points_fused(
                     plan, p, x, alpha, c, blk_fwd=blkf, blk_bwd=blkb,
-                    fg=f, skip_eps=skip_eps, reorder=skip_reorder)
+                    fg=f, skip_eps=skip_eps, reorder=skip_reorder,
+                    group=skip_group)
 
             mesh = self.data_mesh
             if mesh is not None and mesh.devices.size > 1:

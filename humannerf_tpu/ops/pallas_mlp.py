@@ -304,13 +304,15 @@ def _forward_pass(plan: Plan, x, hw, kw, keep_acts: bool):
     return raw, acts
 
 
-def _fwd_kernel(plan: Plan, live_ref, xp_ref, hw_ref, *rest):
+def _fwd_kernel(plan: Plan, sched_ref, xp_ref, hw_ref, *rest):
     raw_ref = rest[-1]
-    live = live_ref[pl.program_id(0)]
+    live = sched_ref[0, pl.program_id(0)]
 
     # Empty-space skip: fg==0 samples contribute exactly nothing downstream
     # (raw2outputs multiplies alpha by fg), so blocks whose fg is all zero
-    # write raw=0 (sigma relu(0)=0 -> alpha 0) and skip the matmul chain.
+    # skip the matmul chain entirely. Their input/output DMAs are remapped
+    # to shared blocks by _block_sched; the never-written real output
+    # columns are masked with `where` by _fused_query_packed.
     @pl.when(live > 0)
     def _compute():
         kw = [r[:] for r in rest[:-1]]
@@ -319,12 +321,8 @@ def _fwd_kernel(plan: Plan, live_ref, xp_ref, hw_ref, *rest):
         raw, _ = _forward_pass(plan, x, hw, kw, keep_acts=False)
         raw_ref[:] = _pack_cols(raw)                    # (4, blk)
 
-    @pl.when(live == 0)
-    def _skip():
-        raw_ref[:] = jnp.zeros_like(raw_ref)
 
-
-def _bwd_kernel(plan: Plan, live_ref, xp_ref, hw_ref, g_ref, *rest):
+def _bwd_kernel(plan: Plan, sched_ref, xp_ref, hw_ref, g_ref, *rest):
     """Recompute forward, backprop, accumulate dW in VMEM-resident outputs."""
     n_w = plan.n_tensors()
     w_refs = rest[:n_w]
@@ -339,12 +337,10 @@ def _bwd_kernel(plan: Plan, live_ref, xp_ref, hw_ref, g_ref, *rest):
 
     # fg==0 blocks carry exactly-zero cotangents (alpha = alpha*fg kills
     # both the rgb and sigma paths), so the recompute+backprop is skipped
-    # and their dx / dW contributions are exact zeros.
-    live = live_ref[pl.program_id(0)]
-
-    @pl.when(live == 0)
-    def _dead():
-        dx_ref[:] = jnp.zeros_like(dx_ref)
+    # and their dx / dW contributions are exact zeros. Dead steps' DMAs
+    # are remapped to shared blocks (_block_sched); the unwritten real dx
+    # columns are masked with `where` by _fused_query_bwd.
+    live = sched_ref[0, pl.program_id(0)]
 
     @pl.when(live > 0)
     def _body():
@@ -442,14 +438,42 @@ def _bwd_block(plan: Plan, xp_ref, hw_ref, g_ref, w_refs, dx_ref, dw_refs,
     assert wit == 0 and dit == 0, (wit, dit)
 
 
-def _t_spec(blk, ncol):
+def _t_spec(blk, ncol, row=None):
     """Transposed (ncol, N) arrays, blocked along the sample (lane) dim.
 
-    Index maps take (i, live_ref): scalar-prefetch operands are appended
-    to every index map's arguments by PrefetchScalarGridSpec.
+    Index maps take (i, sched_ref): scalar-prefetch operands are appended
+    to every index map's arguments by PrefetchScalarGridSpec. When `row`
+    is given, the block index is read from that row of the prefetched
+    (3, nb) schedule instead of being the grid step itself -- dead steps
+    remap to a shared block so their DMAs collapse (see _block_sched).
     """
-    return pl.BlockSpec((ncol, blk), lambda i, *_: (0, i),
+    if row is None:
+        return pl.BlockSpec((ncol, blk), lambda i, *_: (0, i),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((ncol, blk), lambda i, s: (0, s[row, i]),
                         memory_space=pltpu.VMEM)
+
+
+def _block_sched(live):
+    """(nb,) block liveness -> (3, nb) int32 schedule [live, in, out].
+
+    Dead grid steps don't compute (pl.when in the kernels), but a naive
+    per-step BlockSpec still pays their input fetch + output writeback
+    DMAs, which caps the skip's saving at ~50%/block (measured). Instead
+    dead steps remap their blocked INPUT index to block 0 and their
+    OUTPUT index to the first dead step's slot: the live-first partition
+    makes dead steps a contiguous tail, so Mosaic's block-revisit
+    optimization reduces the whole tail to ~one DMA each way. Unvisited
+    output blocks then hold uninitialized memory -- callers MUST mask
+    dead columns with `where` (never multiply: 0*NaN = NaN).
+    """
+    nb = live.shape[0]
+    idx = jnp.arange(nb, dtype=jnp.int32)
+    dead = live == 0
+    j0 = jnp.argmax(dead).astype(jnp.int32)   # first dead step (0 if none)
+    in_idx = jnp.where(dead, 0, idx)
+    out_idx = jnp.where(dead, j0, idx)
+    return jnp.stack([live.astype(jnp.int32), in_idx, out_idx])
 
 
 def _const_spec(shape):
@@ -464,7 +488,7 @@ def _fwd_call(xp, hw, kw, live, *, plan_key, blk, interpret):
     plan = _PLANS[plan_key]
     N = xp.shape[1]
     grid = (N // blk,)
-    in_specs = [_t_spec(blk, 3)]
+    in_specs = [_t_spec(blk, 3, row=1)]
     args = [xp]
     if not plan.skip_nr:
         in_specs.append(_const_spec(hw.shape))
@@ -472,20 +496,20 @@ def _fwd_call(xp, hw, kw, live, *, plan_key, blk, interpret):
     in_specs += [_const_spec(w.shape) for w in kw]
     args += list(kw)
 
-    def kern(live_ref, *refs):
+    def kern(sched_ref, *refs):
         if plan.skip_nr:
-            _fwd_kernel(plan, live_ref, refs[0], None, *refs[1:])
+            _fwd_kernel(plan, sched_ref, refs[0], None, *refs[1:])
         else:
-            _fwd_kernel(plan, live_ref, *refs)
+            _fwd_kernel(plan, sched_ref, *refs)
 
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
-            out_specs=_t_spec(blk, 4)),
+            out_specs=_t_spec(blk, 4, row=2)),
         out_shape=jax.ShapeDtypeStruct((4, N), jnp.float32),
         interpret=interpret,
-    )(live, *args)
+    )(_block_sched(live), *args)
 
 
 @functools.partial(jax.jit,
@@ -494,17 +518,17 @@ def _bwd_call(xp, hw, kw, gp, live, *, plan_key, blk, interpret):
     plan = _PLANS[plan_key]
     N = xp.shape[1]
     grid = (N // blk,)
-    in_specs = [_t_spec(blk, 3)]
+    in_specs = [_t_spec(blk, 3, row=1)]
     args = [xp]
     if not plan.skip_nr:
         in_specs.append(_const_spec(hw.shape))
         args.append(hw)
-    in_specs.append(_t_spec(blk, 4))
+    in_specs.append(_t_spec(blk, 4, row=1))
     args.append(gp.astype(jnp.float32))
     in_specs += [_const_spec(w.shape) for w in kw]
     args += list(kw)
 
-    out_specs = [_t_spec(blk, 3)]
+    out_specs = [_t_spec(blk, 3, row=2)]
     out_shape = [jax.ShapeDtypeStruct((3, N), jnp.float32)]
     # weight-grad accumulators: constant index map -> VMEM-resident across
     # the sequential grid, written back once at the end
@@ -528,7 +552,7 @@ def _bwd_call(xp, hw, kw, gp, live, *, plan_key, blk, interpret):
             num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
             out_specs=tuple(out_specs)),
         out_shape=tuple(out_shape), interpret=interpret,
-    )(live, *args)
+    )(_block_sched(live), *args)
     return outs[0], tuple(outs[1:])
 
 
@@ -548,11 +572,15 @@ def _fused_query_packed(xp, hw, kw, live_f, live_b, plan_key, blk_fwd,
     """Transposed-boundary op: xp (3, N), hw (1, E) -> raw (4, N).
 
     live_f / live_b: (N/blk_fwd,) / (N/blk_bwd,) int32 block-liveness
-    vectors (scalar-prefetched); 0-blocks skip compute exactly.
+    vectors (scalar-prefetched); 0-blocks skip compute exactly. Dead
+    blocks are never written by the kernel (their DMAs are remapped away,
+    _block_sched) -- mask their columns here with `where`.
     """
     interpret = jax.default_backend() != "tpu"
-    return _fwd_call(xp, hw, kw, live_f, plan_key=plan_key, blk=blk_fwd,
-                     interpret=interpret)
+    raw = _fwd_call(xp, hw, kw, live_f, plan_key=plan_key, blk=blk_fwd,
+                    interpret=interpret)
+    alive = jnp.repeat(live_f > 0, blk_fwd)
+    return jnp.where(alive[None, :], raw, 0.0)
 
 
 def _fused_query_fwd(xp, hw, kw, live_f, live_b, plan_key, blk_fwd,
@@ -567,6 +595,9 @@ def _fused_query_bwd(plan_key, blk_fwd, blk_bwd, res, gp):
     interpret = jax.default_backend() != "tpu"
     dxp, dkw = _bwd_call(xp, hw, kw, gp, live_b, plan_key=plan_key,
                          blk=blk_bwd, interpret=interpret)
+    # dead blocks' dx columns were never written (remapped DMAs): mask
+    alive = jnp.repeat(live_b > 0, blk_bwd)
+    dxp = jnp.where(alive[None, :], dxp, 0.0)
     # weight grads back to the primal dtypes (weights enter in the compute
     # dtype, biases f32); hann window is an iteration schedule, not a param
     dkw_cast = tuple(dv.astype(w.dtype) for dv, w in zip(dkw, kw))
@@ -615,10 +646,55 @@ def plan_from_cfg(cfg, compute_dtype, skip_nr: bool) -> Plan | None:
     return plan
 
 
+@jax.custom_vjp
+def _permute_groups(x3, perm, inv):
+    """x3 (C, Ng, gsz) -> x3[:, perm]: permute sample GROUPS on the
+    transposed layout.
+
+    Two things make this cheap where the naive row permute was not:
+    the operand stays in the compact lane-major tiling (a (N, 3) f32
+    array tiles to T(8, 128) -- 42x padded; reshaping/gathering THAT
+    costs ~40 ms at 8.4M samples), and the backward gathers by `inv`
+    (perm's inverse) instead of XLA's scatter-add transpose -- exact
+    for a bijection, and a gather is far cheaper than a scatter."""
+    return x3[:, perm]
+
+
+def _permute_groups_fwd(x3, perm, inv):
+    return x3[:, perm], (perm, inv)
+
+
+def _permute_groups_bwd(res, g):
+    _, inv = res
+    return g[:, inv], None, None
+
+
+_permute_groups.defvjp(_permute_groups_fwd, _permute_groups_bwd)
+
+
+def resolve_skip_reorder(value, train: bool) -> bool:
+    """Resolve the tri-state cfg `pallas.skip_reorder` for one call site.
+
+    "train" (the shipped default) enables the live-first group partition
+    only inside training steps: there each non-skipped block pays the 3x
+    fwd+bwd recompute, which is what amortizes the permute's row gathers
+    (measured v5e: 103.2 -> 84.1 ms/step at group 8). Forward-only eval
+    renders lose more to the permute than the skip saves (45.4 -> 36.6 M
+    samp/s), so they stay unordered. Booleans / "true" / "false" force it
+    on or off everywhere.
+    """
+    if isinstance(value, str):
+        v = value.lower()
+        if v == "train":
+            return bool(train)
+        return v in ("true", "1", "yes")
+    return bool(value)
+
+
 def query_points_fused(plan: Plan, params, x_skel, hann_alpha,
                        condition_code, blk_fwd: int = 2048,
                        blk_bwd: int = 512, fg=None, skip_eps: float = 0.0,
-                       reorder: bool = False):
+                       reorder: bool = False, group: int = 8):
     """Full fused query -> raw (N, 4).
 
     x_skel (N, 3); hann_alpha: traced scalar (ignored when plan.skip_nr).
@@ -636,6 +712,16 @@ def query_points_fused(plan: Plan, params, x_skel, hann_alpha,
     permutation, gradients flow through the gathers. Called inside any
     shard_map region, so the partition is per-device and load stays
     balanced.
+
+    group: partition granularity in samples (power of two <= 128). TPU
+    1-D row gathers are latency-bound per ROW, so permuting GROUPS of
+    `group` consecutive samples (rows of group*3 floats) costs 1/group
+    the gathers of a per-sample partition while a ray's contiguous live
+    z-band still leaves most out-of-band groups fully dead. group=1 is
+    the per-sample partition (maximum skip, measured net-negative at
+    render shapes: ~470 ms of gathers at 8.4M samples). The custom-vjp
+    permute keeps the backward a gather (by the inverse permutation)
+    rather than XLA's scatter-add transpose.
     """
     if blk_fwd % LANES or blk_bwd % LANES:
         raise ValueError(
@@ -668,30 +754,49 @@ def query_points_fused(plan: Plan, params, x_skel, hann_alpha,
         if pad:
             fgf = jnp.concatenate([fgf, jnp.zeros((pad,), jnp.float32)])
         if reorder:
-            # stable partition: live samples first. dst[i] = slot of sample
-            # i; perm = its inverse (slot -> sample). Cheaper than a sort:
-            # two cumsums + one unique-index scatter.
-            alive = fgf > skip_eps
+            gsz = int(group)
+            if gsz < 1 or (gsz & (gsz - 1)) or gsz > LANES:
+                raise ValueError(
+                    f"group must be a power of two in [1, {LANES}]; "
+                    f"got {group}")
+            gsz = min(gsz, blk_b)     # liveness reshapes need gsz | blk_b
+            # stable partition at GROUP granularity: live groups first.
+            # dst[g] = slot of group g; perm = its inverse (slot -> group).
+            # Two cumsums + one unique-index scatter on Ng = Np/gsz ints.
+            Ng = Np // gsz
+            alive = fgf.reshape(Ng, gsz).max(axis=1) > skip_eps
             pos_live = jnp.cumsum(alive.astype(jnp.int32)) - 1
             n_live = pos_live[-1] + 1
             pos_dead = n_live + jnp.cumsum(
                 (~alive).astype(jnp.int32)) - 1
             dst = jnp.where(alive, pos_live, pos_dead)
-            perm = jnp.zeros((Np,), jnp.int32).at[dst].set(
-                jnp.arange(Np, dtype=jnp.int32), unique_indices=True)
-            x_skel = x_skel[perm]
-            fgf = fgf[perm]
-        live_f = (fgf.reshape(Np // blk, blk).max(axis=1)
-                  > skip_eps).astype(jnp.int32)
-        live_b = (fgf.reshape(Np // blk_b, blk_b).max(axis=1)
-                  > skip_eps).astype(jnp.int32)
+            perm = jnp.zeros((Ng,), jnp.int32).at[dst].set(
+                jnp.arange(Ng, dtype=jnp.int32), unique_indices=True)
+            # block liveness from the PERMUTED group-liveness vector --
+            # never from a permuted per-sample fg array (that permute is
+            # the expensive thing this path exists to avoid)
+            galive = alive[perm].astype(jnp.int32)
+            live_f = galive.reshape(Np // blk, blk // gsz).max(axis=1)
+            live_b = galive.reshape(Np // blk_b, blk_b // gsz).max(axis=1)
+        else:
+            live_f = (fgf.reshape(Np // blk, blk).max(axis=1)
+                      > skip_eps).astype(jnp.int32)
+            live_b = (fgf.reshape(Np // blk_b, blk_b).max(axis=1)
+                      > skip_eps).astype(jnp.int32)
     else:
         live_f = jnp.ones((Np // blk,), jnp.int32)
         live_b = jnp.ones((Np // blk_b,), jnp.int32)
     xp = x_skel.astype(jnp.float32).T                  # (3, Np) compact
+    if dst is not None:
+        # permute on the transposed compact layout (axis-1 group gather);
+        # touching the (Np, 3) row layout instead costs ~40 ms at 8.4M
+        # samples: that tiling is 42x padded on TPU
+        xp = _permute_groups(xp.reshape(3, Ng, gsz), perm, dst
+                             ).reshape(3, Np)
     rawp = _fused_query_packed(xp, hw, kw, live_f, live_b, plan.key(),
                                blk, blk_b)
+    if dst is not None:                                # undo the partition
+        rawp = _permute_groups(rawp.reshape(4, Ng, gsz), dst, perm
+                               ).reshape(4, Np)
     raw = rawp.T                                       # (Np, 4)
-    if dst is not None:
-        raw = raw[dst]                                 # undo the partition
     return raw[:N] if pad else raw

@@ -163,13 +163,25 @@ def test_skip_empty_grads(setup):
             err_msg=jax.tree_util.keystr(path))
 
 
-def test_skip_reorder_parity(setup):
+@pytest.mark.parametrize("group", [1, 8])
+def test_skip_reorder_parity(setup, group):
     """The live-first stable partition is a bijection: forward output and
-    grads are identical (not just close) to the unordered skip path."""
+    grads are identical (not just close) to the unordered skip path.
+
+    group=1 is the per-sample partition; group=8 partitions 8-sample
+    groups (the production default: 1/8 the gather rows) -- a z-band
+    liveness pattern leaves whole out-of-band groups dead."""
     params, x, cc, alpha = setup
-    # interleaved dead samples: raw order yields NO fully-dead 128-blocks,
-    # reorder concentrates the 50% dead samples into dead blocks
-    fg = (jnp.arange(256) % 2).astype(jnp.float32)
+    if group == 1:
+        # interleaved dead samples: raw order yields NO fully-dead
+        # 128-blocks, reorder concentrates the 50% dead into dead blocks
+        fg = (jnp.arange(256) % 2).astype(jnp.float32)
+    else:
+        # z-band pattern: rays of 64 samples, live band [24, 56) -> the
+        # out-of-band 8-sample groups are fully dead (50% of groups), but
+        # no contiguous 128-sample block is fully dead without reorder
+        s = jnp.arange(256) % 64
+        fg = ((s >= 24) & (s < 56)).astype(jnp.float32)
     cot = jax.random.normal(jax.random.key(3), (256, 4)) * (fg > 0)[:, None]
     plan = _plan(jnp.float32)
 
@@ -177,7 +189,7 @@ def test_skip_reorder_parity(setup):
         def loss(p, xs, c):
             out = pallas_mlp.query_points_fused(
                 plan, p, xs, alpha, c, blk_fwd=128, blk_bwd=128, fg=fg,
-                reorder=reorder)
+                reorder=reorder, group=group)
             return jnp.sum(out * cot), out
         (l, out), g = jax.value_and_grad(loss, argnums=(0, 1, 2),
                                          has_aux=True)(params, x, cc)
@@ -199,6 +211,18 @@ def test_skip_reorder_parity(setup):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4 * scale,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_resolve_skip_reorder_tristate():
+    """cfg pallas.skip_reorder: 'train' follows the call-site train flag;
+    booleans and their string forms (yaml round-trips) force globally."""
+    r = pallas_mlp.resolve_skip_reorder
+    assert r("train", train=True) is True
+    assert r("train", train=False) is False
+    for v in (True, "true", "True", "1", "yes"):
+        assert r(v, train=False) is True
+    for v in (False, "false", "False", "0", "no"):
+        assert r(v, train=True) is False
 
 
 def test_uneven_n_padding(setup):
