@@ -89,6 +89,9 @@ def main():
         report(name, amort(lambda: f(params, frame, rays)))
 
     full_variant("full-noskip", "pallas.skip_empty", "False")
+    # z-major (sample, ray) layout + ray sort are the defaults; ablate both
+    full_variant("full-nosort", "pallas.skip_sort_rays", "False")
+    full_variant("full-zoff", "pallas.skip_zmajor", "False")
     # default is reorder-off at eval ("train" tri-state): measure the cost
     # the partition would add to a forward-only render
     full_variant("full+reord", "pallas.skip_reorder", "True")

@@ -396,7 +396,20 @@ def default_config() -> CN:
                    # (8.4M samples, forward-only) lose more to the permute
                    # than the skip saves (45.4 -> 36.6 M samp/s), so they
                    # stay unordered. true/false force it on/off everywhere.
-                   "skip_reorder": "train", "skip_group": 8},
+                   "skip_reorder": "train", "skip_group": 8,
+                   # skip_zmajor: feed the kernel samples in (sample, ray)
+                   # order instead of (ray, sample). A ray's live samples
+                   # are a contiguous z-band, so ray-major blocks almost
+                   # never die wholesale; z-major blocks hold many rays at
+                   # ONE depth slot and go fully dead outside the shared
+                   # band. The relayout is a contiguous transpose, not the
+                   # group permute's latency-bound row gathers.
+                   # skip_sort_rays: additionally sort rays by live-band
+                   # center (argsort of R keys + ray-granularity row
+                   # gathers) so dead z-major blocks approach the
+                   # per-sample compaction ideal (measured 68.5% dead vs
+                   # 10.2% unsorted, ideal 73.5%, at 64K rays).
+                   "skip_zmajor": True, "skip_sort_rays": True},
         "warp": {"mode": "fused", "grid_size": 48, "packed": True,
                  "include_bone_weights": False, "bbox_margin": 0.05},
         # host-side per-frame caches (data layer): decoded+undistorted
