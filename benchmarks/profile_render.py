@@ -177,11 +177,20 @@ def main():
         ms_mlp = amort(lambda: mlp(x_skel, sub, cc))
         report("mlp", ms_mlp)
 
+        # the shipped fast path: ray-sorted z-major + per-block liveness
+        # through the transposed kernel entry
         @jax.jit
         def mlp_skip(x, p, c, f):
-            return pallas_mlp.query_points_fused(
-                plan, p, x, ctx["hann_alpha"], c, blk_fwd=2048,
-                blk_bwd=512, fg=f, reorder=True).sum()
+            fg_rs = f.reshape(R, S)
+            order, inv = pallas_mlp.ray_sort_order(fg_rs)
+            x3 = pallas_mlp.permute_cols3(
+                x.astype(jnp.float32).T.reshape(3, R, S), order, inv)
+            xp = x3.transpose(0, 2, 1).reshape(3, R * S)
+            fgz = fg_rs[order].T.reshape(-1)
+            lf = (fgz.reshape(-1, 2048).max(axis=1) > 0).astype(jnp.int32)
+            lb = (fgz.reshape(-1, 512).max(axis=1) > 0).astype(jnp.int32)
+            return pallas_mlp.query_points_fused_t(
+                plan, p, xp, ctx["hann_alpha"], c, lf, lb, 2048, 512).sum()
         report("mlp+skip", amort(lambda: mlp_skip(x_skel, sub, cc,
                                                   fg.reshape(-1))))
     else:

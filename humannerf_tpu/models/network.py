@@ -439,7 +439,13 @@ class HumanNeRF:
             if use_scatter:
                 ctx["scatter_U"] = U
             elif cfg.warp.get("packed", True):
-                ctx["packed_volume"] = build_packed_volume(U)
+                # store the packed volume in the compute dtype: the sample
+                # gather is latency-bound per row but bf16 rows still save
+                # ~4.7 ms at 8.4M samples/64K rays on v5e (and halve the
+                # 56 MB per-frame pack); trilerp accumulates in f32 either
+                # way (sample_packed_volume casts rows up)
+                ctx["packed_volume"] = build_packed_volume(
+                    U.astype(self.compute_dtype))
             else:
                 ctx["fused_volume"] = U
             ctx["obs_min"] = obs_min

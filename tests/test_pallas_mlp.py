@@ -225,6 +225,85 @@ def test_resolve_skip_reorder_tristate():
         assert r(v, train=True) is False
 
 
+def test_ray_sort_order_properties():
+    """Bijection; dead rays sort to the end; keys order by band center."""
+    R, S = 32, 16
+    rng = np.random.RandomState(7)
+    fg = np.zeros((R, S), np.float32)
+    for r in range(R):
+        if r % 4 == 0:
+            continue                      # every 4th ray fully dead
+        s0 = rng.randint(0, S - 3)
+        fg[r, s0:s0 + rng.randint(1, 4)] = rng.rand()
+    order, inv = pallas_mlp.ray_sort_order(jnp.asarray(fg))
+    order, inv = np.asarray(order), np.asarray(inv)
+    assert sorted(order.tolist()) == list(range(R))    # permutation
+    np.testing.assert_array_equal(order[inv], np.arange(R))
+    np.testing.assert_array_equal(inv[order], np.arange(R))
+    live = fg.max(axis=1) > 0
+    n_live = int(live.sum())
+    assert not live[order[n_live:]].any()              # dead rays last
+    # band centers non-decreasing over the live prefix
+    s_idx = np.arange(S)
+    c = [fg[r].nonzero()[0].min() + fg[r].nonzero()[0].max() + 1
+         for r in order[:n_live]]
+    assert all(a <= b for a, b in zip(c, c[1:]))
+
+
+def test_permute_cols3_bijection_and_grad():
+    x = jax.random.normal(jax.random.key(5), (3, 16, 8))
+    perm = jnp.asarray(np.random.RandomState(0).permutation(16))
+    inv = jnp.argsort(perm)
+    y = pallas_mlp.permute_cols3(x, perm, inv)
+    np.testing.assert_array_equal(
+        np.asarray(pallas_mlp.permute_cols3(y, inv, perm)), np.asarray(x))
+    # backward == gather by inverse == exact transpose of the bijection
+    cot = jax.random.normal(jax.random.key(6), x.shape)
+    g = jax.grad(lambda a: jnp.sum(
+        pallas_mlp.permute_cols3(a, perm, inv) * cot))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(cot[:, inv]),
+                               rtol=0, atol=0)
+
+
+def test_query_points_fused_t_parity(setup):
+    """Transposed entry == row entry; sorted z-major pipeline == direct."""
+    params, x, cc, alpha = setup
+    plan = _plan(jnp.float32)
+    N = x.shape[0]
+    ref = pallas_mlp.query_points_fused(plan, params, x, alpha, cc,
+                                        blk_fwd=128, blk_bwd=128)
+    ones = jnp.ones((N // 128,), jnp.int32)
+    xp = x.astype(jnp.float32).T
+    out = pallas_mlp.query_points_fused_t(plan, params, xp, alpha, cc,
+                                          ones, ones, 128, 128)
+    np.testing.assert_allclose(np.asarray(out.T), np.asarray(ref),
+                               rtol=0, atol=0)   # same kernel, same blocks
+
+    # full sorted z-major round trip (the network.py fast path). In the
+    # (sample, ray) flatten a 128-sample block covers 64 depth slots x 2
+    # rays, so a shared dead front BAND (not a dead ray) is what produces
+    # fully-dead blocks: dead entries exactly 0, live ones parity.
+    R, S = 2, 128
+    fg = np.ones((R, S), np.float32)
+    fg[:, :64] = 0.0                          # slots 0..63 dead everywhere
+    fgj = jnp.asarray(fg)
+    order, inv = pallas_mlp.ray_sort_order(fgj)
+    x3 = pallas_mlp.permute_cols3(xp.reshape(3, R, S), order, inv)
+    xq = x3.transpose(0, 2, 1).reshape(3, N)
+    fgz = fgj[order].T.reshape(-1)
+    live = (fgz.reshape(N // 128, 128).max(axis=1) > 0).astype(jnp.int32)
+    assert int(live.sum()) == 1                    # front block dead
+    rawp = pallas_mlp.query_points_fused_t(plan, params, xq, alpha, cc,
+                                           live, live, 128, 128)
+    r4 = pallas_mlp.permute_cols3(
+        rawp.reshape(4, S, R).transpose(0, 2, 1), inv, order)
+    out2 = np.asarray(r4.transpose(1, 2, 0).reshape(N, 4)).reshape(R, S, 4)
+    ref2 = np.asarray(ref).reshape(R, S, 4)
+    assert (out2[:, :64] == 0).all()               # dead band masked
+    np.testing.assert_allclose(out2[:, 64:], ref2[:, 64:],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_uneven_n_padding(setup):
     params, x, cc, alpha = setup
     plan = _plan(jnp.float32)
