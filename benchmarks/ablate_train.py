@@ -21,6 +21,7 @@ ABLATIONS = [
     ("rs_blk_1024", {"pallas.resample_block": "1024"}),
     ("no_pallas_mlp", {"pallas.mlp": "False"}),
     ("no_pallas_resample", {"pallas.resample": "False"}),
+    ("no_support_skip", {"pallas.resample_support_skip": "False"}),
     ("no_pallas_scatter", {"pallas.scatter": "False"}),
     ("scatter_blk2048", {"pallas.scatter_block": "2048"}),
     ("scatter_win512", {"pallas.scatter_window": "512"}),

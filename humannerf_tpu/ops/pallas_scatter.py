@@ -155,12 +155,6 @@ def _pack_u32(x):
     return jax.lax.bitcast_convert_type(xb, jnp.uint32)
 
 
-def _unpack_u32(x, c):
-    n = x.shape[0]
-    xb = jax.lax.bitcast_convert_type(x, jnp.bfloat16)
-    return xb.reshape(n, c).astype(jnp.float32)
-
-
 def scatter_grad_volume(flat, dacc, w8, *, grid_size, dtype=jnp.bfloat16,
                         blk=1024, window=256, interpret=False):
     """d(U) (G, G, G, 16) from per-sample cotangents.
@@ -184,8 +178,18 @@ def scatter_grad_volume(flat, dacc, w8, *, grid_size, dtype=jnp.bfloat16,
                 + [_pack_u32(w8)[:, i] for i in range(4)])
         order = jax.lax.sort([flat] + cols, num_keys=1)
         flat_s = order[0]
-        dacc_s = _unpack_u32(jnp.stack(order[1:9], axis=1), 16)
-        w8_s = _unpack_u32(jnp.stack(order[9:13], axis=1), 8)
+        # post-sort, build the (npad, 128) payload rows straight from the
+        # sorted u32 pair columns: the previous stack -> bitcast ->
+        # f32-cast -> (N, 8, 16) outer-product route materialized ~5
+        # lane-padded intermediates (~6.7 ms of the 10.6 ms total at
+        # 786k samples; benchmarks/micro_scatter.py) while the math is
+        # one fused pass
+        dacc_s = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(c, jnp.bfloat16)
+             for c in order[1:9]], axis=1)                 # (npad, 16) bf16
+        w8_s = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(c, jnp.bfloat16)
+             for c in order[9:13]], axis=1)                # (npad, 8) bf16
     else:
         order = jax.lax.sort(
             [flat] + [dacc[:, i] for i in range(16)]
@@ -194,9 +198,13 @@ def scatter_grad_volume(flat, dacc, w8, *, grid_size, dtype=jnp.bfloat16,
         dacc_s = jnp.stack(order[1:17], axis=1)
         w8_s = jnp.stack(order[17:25], axis=1)
     # payload rows in the packed-volume channel layout: corner k's
-    # contribution lands at channels [k*16:(k+1)*16] of row `flat`
-    p_s = (w8_s[:, :, None] * dacc_s[:, None, :]).reshape(npad, 128) \
-        .astype(dtype)
+    # contribution lands at channels [k*16:(k+1)*16] of row `flat`;
+    # per-corner 2-D products concatenated along lanes fuse into a single
+    # (npad, 128) write (a (N, 8, 16) outer product does not)
+    d32 = dacc_s.astype(jnp.float32)
+    p_s = jnp.concatenate(
+        [(w8_s[:, k:k + 1].astype(jnp.float32) * d32).astype(dtype)
+         for k in range(8)], axis=1)                       # (npad, 128)
     dtype_str = "bfloat16" if dtype == jnp.bfloat16 else "float32"
     dU8 = _scatter_call(flat_s, p_s, G=G, dtype_str=dtype_str,
                         blk=blk, R=window, interpret=interpret)

@@ -96,3 +96,108 @@ def test_build_fused_volume_gate(setup):
                                           pallas_resample=True, **kw)
     np.testing.assert_allclose(np.asarray(U_out), np.asarray(U_ref),
                                rtol=1e-5, atol=1e-5)
+
+def test_grad_parity_zero_cotangent_blocks(setup):
+    """Blocks whose incoming cotangent is exactly zero are skipped by the
+    backward kernel (liveness bitmask); parity must hold regardless."""
+    vols, Rs, Ts, cmin, cscale, omin, omax, G = setup
+    K = vols.shape[0]
+    rng = np.random.RandomState(2)
+    cot = rng.randn(G ** 3, K).astype(np.float32)
+    blk = 64                          # divides G^3 = 1728 exactly
+    cb = cot.reshape(-1, blk, K)
+    cb[::2] = 0.0                     # every other block fully dead
+    cb[3] = 0.0
+    cot = jnp.asarray(cb.reshape(G ** 3, K))
+
+    def loss_ref(v, R, T):
+        return jnp.sum(_einsum_w(v, R, T, cmin, cscale, omin, omax, G,
+                                 jnp.float32) * cot)
+
+    def loss_out(v, R, T):
+        return jnp.sum(pallas_resample.resample_all_bones(
+            v, R, T, cmin, cscale, omin, omax, G, dtype=jnp.float32,
+            blk=blk) * cot)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(vols, Rs, Ts)
+    g_out = jax.grad(loss_out, argnums=(0, 1, 2))(vols, Rs, Ts)
+    for name, a, b in zip("vols Rs Ts".split(), g_ref, g_out):
+        scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-4 * scale,
+            err_msg=name)
+
+
+def _sparse_setup(setup):
+    """Volumes with compact support (zeros outside a sub-box per bone)."""
+    vols, Rs, Ts, cmin, cscale, omin, omax, G = setup
+    K, D = vols.shape[0], vols.shape[1]
+    rng = np.random.RandomState(3)
+    v = np.zeros_like(np.asarray(vols))
+    for k in range(K):
+        z0, y0, x0 = rng.randint(0, D - 3, 3)
+        v[k, z0:z0 + 3, y0:y0 + 3, x0:x0 + 3] = \
+            rng.rand(3, 3, 3).astype(np.float32) + 0.1
+    return (jnp.asarray(v), Rs, Ts, cmin, cscale, omin, omax, G)
+
+
+def test_support_skip_dA_dT_exact(setup):
+    """With support_skip, dA/dT match the unskipped backward exactly, and
+    dvols matches on the support (the skipped entries land only on
+    zero-weight voxels by construction)."""
+    vols, Rs, Ts, cmin, cscale, omin, omax, G = _sparse_setup(setup)
+    cot = jnp.asarray(
+        np.random.RandomState(4).randn(G ** 3, vols.shape[0])
+        .astype(np.float32))
+
+    def loss(skip):
+        def f(v, R, T):
+            return jnp.sum(pallas_resample.resample_all_bones(
+                v, R, T, cmin, cscale, omin, omax, G, dtype=jnp.float32,
+                blk=128, support_skip=skip) * cot)
+        return jax.grad(f, argnums=(0, 1, 2))(vols, Rs, Ts)
+
+    g_skip = loss(True)
+    g_full = loss(False)
+    np.testing.assert_allclose(np.asarray(g_skip[1]), np.asarray(g_full[1]),
+                               rtol=1e-6, atol=1e-6, err_msg="Rs")
+    np.testing.assert_allclose(np.asarray(g_skip[2]), np.asarray(g_full[2]),
+                               rtol=1e-6, atol=1e-6, err_msg="Ts")
+    sup = np.asarray(vols) != 0
+    np.testing.assert_allclose(np.asarray(g_skip[0])[sup],
+                               np.asarray(g_full[0])[sup],
+                               rtol=1e-6, atol=1e-6, err_msg="dvols@support")
+
+
+def test_support_skip_exact_through_softmax(setup):
+    """End-to-end exactness of the support skip in the production chain:
+    motion weights = softmax(logits + log prior) with a compact-support
+    prior. The softmax VJP multiplies each voxel's cotangent by its output
+    (zero off-support), so parameter gradients are identical with and
+    without the skip."""
+    vols, Rs, Ts, cmin, cscale, omin, omax, G = setup
+    K, D = vols.shape[0], vols.shape[1]
+    rng = np.random.RandomState(5)
+    prior = np.zeros((K + 1, D, D, D), np.float32)
+    prior[-1] = 1.0                                   # bg everywhere
+    for k in range(K):
+        z0, y0, x0 = rng.randint(0, D - 4, 3)
+        prior[k, z0:z0 + 4, y0:y0 + 4, x0:x0 + 4] = \
+            rng.rand(4, 4, 4).astype(np.float32) + 0.05
+    prior = jnp.asarray(prior)
+    logits = jnp.asarray(rng.randn(K + 1, D, D, D).astype(np.float32))
+    cot = jnp.asarray(rng.randn(G ** 3, K).astype(np.float32))
+
+    def loss(lg, skip):
+        w = jax.nn.softmax(
+            lg + jnp.log(jnp.clip(prior, 1e-38)) +
+            jnp.where(prior > 0, 0.0, -jnp.inf), axis=0)
+        w = jnp.where(prior > 0, w, 0.0)
+        return jnp.sum(pallas_resample.resample_all_bones(
+            w[:-1], Rs, Ts, cmin, cscale, omin, omax, G,
+            dtype=jnp.float32, blk=128, support_skip=skip) * cot)
+
+    g_skip = jax.grad(lambda lg: loss(lg, True))(logits)
+    g_full = jax.grad(lambda lg: loss(lg, False))(logits)
+    np.testing.assert_allclose(np.asarray(g_skip), np.asarray(g_full),
+                               rtol=1e-6, atol=1e-6)
