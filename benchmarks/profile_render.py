@@ -88,6 +88,7 @@ def main():
             return netv.render_rays(p, fr, r, iv)["rgb"].sum()
         report(name, amort(lambda: f(params, frame, rays)))
 
+    full_variant("full-noband", "pallas.analytic_bands", "False")
     full_variant("full-noskip", "pallas.skip_empty", "False")
     # z-major (sample, ray) layout + ray sort are the defaults; ablate both
     full_variant("full-nosort", "pallas.skip_sort_rays", "False")

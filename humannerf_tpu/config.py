@@ -380,9 +380,23 @@ def default_config() -> CN:
         "pallas": {"composite": False, "mlp": True, "mlp_interpret": False,
                    "mlp_block": 2048, "mlp_block_bwd": 512,
                    "resample": True, "resample_block": 512,
+                   # resample_support_skip: the resample backward also
+                   # skips (block, bone) pairs whose warped stencil misses
+                   # the bone's nonzero-weight support (exact through the
+                   # softmax motion-weight chain; see
+                   # ops/pallas_resample.resample_all_bones)
+                   "resample_support_skip": True,
                    "scatter": True, "scatter_block": 1024,
                    "scatter_window": 256,
                    "skip_empty": True, "skip_eps": 0.0,
+                   # analytic_bands: eval renders derive each ray's live
+                   # depth band from bone-support geometry BEFORE the
+                   # packed-volume gather (ops/liveness.py) -- rays sort
+                   # and the warp math runs once in the kernel's z-major
+                   # lane-dense layout (models/network.py
+                   # _render_block_analytic); output is exactly the
+                   # legacy path's
+                   "analytic_bands": True,
                    # skip_reorder: stable-partition live sample GROUPS
                    # first so dead blocks concentrate (skip_group samples
                    # per group; row gathers are latency-bound per row, so

@@ -414,6 +414,8 @@ class HumanNeRF:
                 include_bone_weights=need_bw, dtype=self.compute_dtype,
                 pallas_resample=use_pallas_rs,
                 resample_blk=int(cfg.get_path("pallas.resample_block", 512)),
+                resample_support_skip=bool(
+                    cfg.get_path("pallas.resample_support_skip", True)),
                 shard_map_mesh=self.data_mesh)
             # Train-time fast path: fuse pack+gather+einsum into one op whose
             # transpose runs the Pallas windowed one-hot scatter kernel
@@ -450,6 +452,17 @@ class HumanNeRF:
                 ctx["fused_volume"] = U
             ctx["obs_min"] = obs_min
             ctx["obs_max"] = obs_max
+            if cfg.get_path("pallas.analytic_bands", True) and not train:
+                # analytic per-ray live bands (ops/liveness.py): eval
+                # renders sort rays and skip empty blocks BEFORE the
+                # packed-volume gather (fg liveness only exists after it)
+                from humannerf_tpu.ops import liveness as lv
+                sup_lo, sup_hi = lv.bone_support_boxes(mweights[:-1])
+                ctx["band_sup_lo"], ctx["band_sup_hi"] = sup_lo, sup_hi
+                ctx["band_Rs"], ctx["band_Ts"] = scale_Rs, Ts
+                ctx["band_dims"] = tuple(mweights.shape[1:])
+                ctx["band_obs_step"] = ((obs_max - obs_min)
+                                        / (cfg.warp.grid_size - 1))
         else:
             ctx["motion_weights_vol"] = mweights[:-1]         # drop bg channel
         return ctx
@@ -604,6 +617,72 @@ class HumanNeRF:
 
     # -- ray rendering --------------------------------------------------------
 
+    def _render_block_analytic(self, params, ctx, rays_o, rays_d, near,
+                               far, z_vals, plan, R, S):
+        """Eval fast path: analytic ray bands -> sort, gather, fused MLP.
+
+        fg liveness is ordinarily known only AFTER the packed-volume
+        gather; the bands (ops/liveness.py) give a conservative superset
+        BEFORE it, so the whole stage runs once in the kernel's z-major
+        lane-dense layout: ray-level permutes, a dense-id XLA row gather,
+        the Pallas trilerp+warp kernel (ops/pallas_trilerp.py), then the
+        fused MLP with exact fg-based block skipping. Output is exactly
+        the legacy path's (the sort is a bijection; skipped blocks emit
+        raw = 0, which composites identically because fg == 0 there).
+        Returns (raw (N, 4), fg (N,)) in original ray-major order, or
+        None when the sample count doesn't tile the kernel blocks.
+        """
+        cfg = self.cfg
+        from humannerf_tpu.ops import liveness as lv
+        from humannerf_tpu.ops import pallas_mlp
+        from humannerf_tpu.ops.pallas_trilerp import sample_packed_volume_t
+        N = R * S
+        blkf = int(cfg.get_path("pallas.mlp_block", 2048))
+        blkb = int(cfg.get_path("pallas.mlp_block_bwd", 512))
+        blk_t, blkb_t, pad_t = pallas_mlp.resolve_blocks(plan, N, blkf,
+                                                         blkb)
+        if pad_t or N % blk_t or N % blkb_t:
+            return None
+        t0, t1 = lv.ray_band_intervals(
+            rays_o, rays_d, near, far, ctx["band_Rs"], ctx["band_Ts"],
+            ctx["cnl_bbox_min_xyz"], ctx["cnl_bbox_scale_xyz"],
+            ctx["band_dims"], ctx["band_sup_lo"], ctx["band_sup_hi"],
+            obs_step=ctx["band_obs_step"])
+        keys = lv.band_sort_keys(z_vals, t0, t1)
+        order = jnp.argsort(keys).astype(jnp.int32)
+        inv = jnp.zeros((R,), jnp.int32).at[order].set(
+            jnp.arange(R, dtype=jnp.int32), unique_indices=True)
+        o_s = pallas_mlp.permute_rows(rays_o.astype(jnp.float32), order,
+                                      inv)
+        d_s = pallas_mlp.permute_rows(rays_d.astype(jnp.float32), order,
+                                      inv)
+        z_s = pallas_mlp.permute_rows(z_vals, order, inv)
+        pts_sr = o_s.T[:, None, :] + d_s.T[:, None, :] * z_s.T[None]
+        x_t, fg_t = sample_packed_volume_t(
+            ctx["packed_volume"], pts_sr.reshape(3, N), ctx["obs_min"],
+            ctx["obs_max"], blk=blk_t,
+            interpret=(jax.default_backend() != "tpu"))
+        x_t = jax.lax.optimization_barrier(x_t)
+        fgz = fg_t.reshape(N)
+        eps = float(cfg.get_path("pallas.skip_eps", 0.0))
+        live_f = (fgz.reshape(N // blk_t, blk_t).max(axis=1)
+                  > eps).astype(jnp.int32)
+        live_b = (fgz.reshape(N // blkb_t, blkb_t).max(axis=1)
+                  > eps).astype(jnp.int32)
+        cc = None if cfg.ignore_non_rigid_motions \
+            else ctx["condition_code"]
+        sub = {k: params[k] for k in ("non_rigid_mlp", "cnl_mlp")
+               if k in params}
+        rawp = pallas_mlp.query_points_fused_t(
+            plan, sub, x_t, ctx["hann_alpha"], cc, live_f, live_b,
+            blk_t, blkb_t)                                  # (4, N)
+        r4 = rawp.reshape(4, S, R).transpose(0, 2, 1)       # sorted rays
+        r4 = pallas_mlp.permute_cols3(r4, inv, order)
+        raw = r4.transpose(1, 2, 0).reshape(N, 4)
+        fg = pallas_mlp.permute_rows(fgz.reshape(S, R).T, inv,
+                                     order).reshape(N)
+        return raw, fg
+
     def render_block(self, params: dict, ctx: dict, block: dict,
                      rng: jax.Array | None = None, *, perturb: bool = False,
                      full_outputs: bool = False, remat: bool = False,
@@ -640,6 +719,42 @@ class HumanNeRF:
                 dir_embed = fourier_embed(d, cfg.canonical_mlp.multires_dir)
                 dir_embed = jnp.repeat(dir_embed[:, None, :], S,
                                        axis=1).reshape(R * S, -1)
+
+        # analytic-band fast path (eval / packed volume / default family):
+        # ray sort + gather + fused MLP without ever touching the padded
+        # (N, 3) sample layout; see _render_block_analytic
+        plan0 = self.pallas_mlp_plans[1 if cfg.ignore_non_rigid_motions
+                                      else 0]
+        if (not train and not full_outputs and head_mode == "single"
+                and plan0 is not None and dir_embed is None
+                and "packed_volume" in ctx and "band_sup_lo" in ctx
+                and cfg.get_path("pallas.analytic_bands", True)
+                and cfg.get_path("pallas.skip_empty", True)
+                and cfg.get_path("pallas.skip_zmajor", True)
+                and (cfg.ignore_non_rigid_motions
+                     or ctx["condition_code"] is None
+                     or ctx["condition_code"].ndim == 1)
+                and (self.data_mesh is None
+                     or self.data_mesh.devices.size == 1)
+                and (jax.default_backend() == "tpu"
+                     or cfg.get_path("pallas.mlp_interpret", False))):
+            out = self._render_block_analytic(
+                params, ctx, rays_o, rays_d, near, far, z_vals, plan0,
+                R, S)
+            if out is not None:
+                raw, fg = out
+                if (cfg.get_path("pallas.composite", False)
+                        and R % 1024 == 0
+                        and jax.default_backend() == "tpu"):
+                    from humannerf_tpu.ops.pallas_composite import \
+                        composite_pallas
+                    return composite_pallas(
+                        raw.reshape(R, S, -1), fg.reshape(R, S, 1),
+                        z_vals, rays_d, ctx["bgcolor"],
+                        block=min(1024, R))
+                return raw2outputs(raw.reshape(R, S, -1),
+                                   fg.reshape(R, S, 1), z_vals, rays_d,
+                                   ctx["bgcolor"])
 
         pts_flat = pts.reshape(-1, 3)
         if ("scatter_U" in ctx or "packed_volume" in ctx
