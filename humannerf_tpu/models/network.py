@@ -658,9 +658,13 @@ class HumanNeRF:
                                       inv)
         z_s = pallas_mlp.permute_rows(z_vals, order, inv)
         pts_sr = o_s.T[:, None, :] + d_s.T[:, None, :] * z_s.T[None]
+        # conservative per-sample liveness in the z-major sorted layout:
+        # band-dead samples skip the gather (row clamp) and whole dead
+        # kernel blocks skip compute + DMA inside the trilerp kernel
+        live_band = lv.sample_live_mask(z_s, t0[order], t1[order])
         x_t, fg_t = sample_packed_volume_t(
             ctx["packed_volume"], pts_sr.reshape(3, N), ctx["obs_min"],
-            ctx["obs_max"], blk=blk_t,
+            ctx["obs_max"], blk=blk_t, live=live_band.T.reshape(N),
             interpret=(jax.default_backend() != "tpu"))
         x_t = jax.lax.optimization_barrier(x_t)
         fgz = fg_t.reshape(N)

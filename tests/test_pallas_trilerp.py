@@ -45,6 +45,32 @@ def test_parity_vs_row_major(packed, dtype):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_live_mask_parity(packed):
+    """With a liveness mask, live samples match the unmasked run exactly
+    and dead samples (including whole DMA-collapsed dead blocks) emit
+    exactly (0, 0)."""
+    U8, obs_min, obs_max = packed
+    rng = np.random.RandomState(7)
+    N, blk = 512, 128
+    pts = rng.uniform(-1.4, 1.4, (N, 3)).astype(np.float32)
+    x_base, fg_base = sample_packed_volume_t(
+        U8, jnp.asarray(pts.T), obs_min, obs_max, blk=blk)
+    live = rng.rand(N) < 0.6
+    live[blk:2 * blk] = False            # one fully dead kernel block
+    live[:blk] = True                    # one fully live kernel block
+    x_m, fg_m = sample_packed_volume_t(
+        U8, jnp.asarray(pts.T), obs_min, obs_max, blk=blk,
+        live=jnp.asarray(live))
+    np.testing.assert_allclose(np.asarray(x_m[:, live]),
+                               np.asarray(x_base[:, live]),
+                               rtol=1e-6, atol=1e-6)
+    assert float(jnp.abs(x_m[:, ~live]).max()) == 0.0
+    assert float(jnp.abs(fg_m[:, ~live]).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(fg_m[:, live]),
+                               np.asarray(fg_base[:, live]),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_out_of_range_fg_zero(packed):
     U8, obs_min, obs_max = packed
     pts = np.full((128, 3), 9.0, np.float32)
