@@ -23,6 +23,7 @@ ABLATIONS = [
     ("no_pallas_resample", {"pallas.resample": "False"}),
     ("no_support_skip", {"pallas.resample_support_skip": "False"}),
     ("no_pallas_scatter", {"pallas.scatter": "False"}),
+    ("no_band_gather", {"pallas.band_gather": "False"}),
     ("scatter_blk2048", {"pallas.scatter_block": "2048"}),
     ("scatter_win512", {"pallas.scatter_window": "512"}),
     ("no_lpips", {"train.lossweights.lpips": "0.0",

@@ -395,8 +395,25 @@ def default_config() -> CN:
                    # and the warp math runs once in the kernel's z-major
                    # lane-dense layout (models/network.py
                    # _render_block_analytic); output is exactly the
-                   # legacy path's
-                   "analytic_bands": True,
+                   # legacy path's. Default OFF: measured v5e end-to-end
+                   # (64K rays x 128 samples, bf16) it renders 57-75 M
+                   # samples/s vs the legacy path's 86.8 M -- the Pallas
+                   # trilerp route materializes the gathered (N, 128) rows
+                   # to HBM (2.1 GB at that shape) where XLA fuses the
+                   # gather into the trilerp einsum in one pass. Kept as
+                   # an opt-in (exactness pinned by
+                   # test_analytic_render_path_parity).
+                   "analytic_bands": False,
+                   # band_gather: mark band-dead samples BEFORE the
+                   # packed-volume gather (training steps and the legacy
+                   # eval path) -- dead rows clamp to the shared row 0
+                   # (cache-hot gather) and the scatter backward sorts
+                   # them onto the padding key, where whole dead sample
+                   # blocks skip the one-hot matmul and collapse their
+                   # DMAs. Exact: band-dead => every packed channel is 0
+                   # forward, and the forward mask zeroes their
+                   # cotangents by construction.
+                   "band_gather": True,
                    # skip_reorder: stable-partition live sample GROUPS
                    # first so dead blocks concentrate (skip_group samples
                    # per group; row gathers are latency-bound per row, so

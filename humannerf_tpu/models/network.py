@@ -452,10 +452,14 @@ class HumanNeRF:
                 ctx["fused_volume"] = U
             ctx["obs_min"] = obs_min
             ctx["obs_max"] = obs_max
-            if cfg.get_path("pallas.analytic_bands", True) and not train:
+            if (cfg.get_path("pallas.band_gather", True)
+                    or (not train
+                        and cfg.get_path("pallas.analytic_bands", False))):
                 # analytic per-ray live bands (ops/liveness.py): eval
                 # renders sort rays and skip empty blocks BEFORE the
-                # packed-volume gather (fg liveness only exists after it)
+                # packed-volume gather (fg liveness only exists after it);
+                # training steps mark band-dead samples so the gather
+                # clamps their rows and the scatter backward skips them
                 from humannerf_tpu.ops import liveness as lv
                 sup_lo, sup_hi = lv.bone_support_boxes(mweights[:-1])
                 ctx["band_sup_lo"], ctx["band_sup_hi"] = sup_lo, sup_hi
@@ -619,7 +623,15 @@ class HumanNeRF:
 
     def _render_block_analytic(self, params, ctx, rays_o, rays_d, near,
                                far, z_vals, plan, R, S):
-        """Eval fast path: analytic ray bands -> sort, gather, fused MLP.
+        """Opt-in eval path: analytic ray bands -> sort, gather, fused MLP.
+
+        Default OFF (pallas.analytic_bands): measured end-to-end on v5e it
+        loses to the legacy path (57-75 vs 86.8 M samples/s at 64K x 128
+        bf16) because the gathered (N, 128) rows materialize to HBM ahead
+        of the Pallas trilerp while XLA fuses the legacy gather straight
+        into the trilerp einsum. Kept as the only route that skips
+        gather + warp work pre-gather; exactness is pinned by
+        tests/test_liveness.py::test_analytic_render_path_parity.
 
         fg liveness is ordinarily known only AFTER the packed-volume
         gather; the bands (ops/liveness.py) give a conservative superset
@@ -732,7 +744,7 @@ class HumanNeRF:
         if (not train and not full_outputs and head_mode == "single"
                 and plan0 is not None and dir_embed is None
                 and "packed_volume" in ctx and "band_sup_lo" in ctx
-                and cfg.get_path("pallas.analytic_bands", True)
+                and cfg.get_path("pallas.analytic_bands", False)
                 and cfg.get_path("pallas.skip_empty", True)
                 and cfg.get_path("pallas.skip_zmajor", True)
                 and (cfg.ignore_non_rigid_motions
@@ -761,6 +773,23 @@ class HumanNeRF:
                                    ctx["bgcolor"])
 
         pts_flat = pts.reshape(-1, 3)
+        # conservative band liveness ahead of the packed-volume gather
+        # (training steps + the legacy eval fallback): dead samples clamp
+        # their gather row and the scatter backward skips them wholesale.
+        # Exact -- band-dead means every packed channel reads 0.
+        live_band = None
+        if ("band_sup_lo" in ctx
+                and cfg.get_path("pallas.band_gather", True)
+                and ("scatter_U" in ctx or "packed_volume" in ctx)):
+            from humannerf_tpu.ops import liveness as lv
+            t0b, t1b = lv.ray_band_intervals(
+                rays_o, rays_d, near, far, ctx["band_Rs"],
+                ctx["band_Ts"], ctx["cnl_bbox_min_xyz"],
+                ctx["cnl_bbox_scale_xyz"], ctx["band_dims"],
+                ctx["band_sup_lo"], ctx["band_sup_hi"],
+                obs_step=ctx["band_obs_step"])
+            live_band = jax.lax.stop_gradient(
+                lv.sample_live_mask(z_vals, t0b, t1b).reshape(-1))
         if ("scatter_U" in ctx or "packed_volume" in ctx
                 or "fused_volume" in ctx):
             if "scatter_U" in ctx:
@@ -772,6 +801,9 @@ class HumanNeRF:
                     sample_packed_grad, dtype=self.compute_dtype,
                     blk=int(cfg.get_path("pallas.scatter_block", 1024)),
                     window=int(cfg.get_path("pallas.scatter_window", 256)))
+                lvf = live_band.astype(jnp.float32) \
+                    if live_band is not None \
+                    else jnp.ones(pts_flat.shape[:1], jnp.float32)
                 mesh = self.data_mesh
                 if mesh is not None and mesh.devices.size > 1:
                     # ray-sharded layout: each device scatters its local
@@ -780,11 +812,12 @@ class HumanNeRF:
                     # partition the pallas_call on its own.
                     from jax.sharding import PartitionSpec as P
 
-                    def pair(U, p, lo, hi):
-                        x, s, _ = sfn(U, p, lo, hi)
+                    def pair(U, p, lo, hi, lv_):
+                        x, s, _ = sfn(U, p, lo, hi, live=lv_)
                         return x, s
                     sm_kw = dict(mesh=mesh,
-                                 in_specs=(P(), P("data"), P(), P()),
+                                 in_specs=(P(), P("data"), P(), P(),
+                                           P("data")),
                                  out_specs=(P("data"), P("data")))
                     try:
                         from jax import shard_map
@@ -793,16 +826,16 @@ class HumanNeRF:
                         from jax.experimental.shard_map import shard_map
                         pair = shard_map(pair, check_rep=False, **sm_kw)
                     x_skel, fg = pair(ctx["scatter_U"], pts_flat,
-                                      ctx["obs_min"], ctx["obs_max"])
+                                      ctx["obs_min"], ctx["obs_max"], lvf)
                     bw_weights = None
                 else:
                     x_skel, fg, bw_weights = sfn(
                         ctx["scatter_U"], pts_flat, ctx["obs_min"],
-                        ctx["obs_max"])
+                        ctx["obs_max"], live=lvf)
             elif "packed_volume" in ctx:
                 x_skel, fg, bw_weights = sample_packed_volume(
                     ctx["packed_volume"], pts_flat, ctx["obs_min"],
-                    ctx["obs_max"])
+                    ctx["obs_max"], live=live_band)
             else:
                 x_skel, fg, bw_weights = sample_fused_volume(
                     ctx["fused_volume"], pts_flat, ctx["obs_min"],

@@ -186,12 +186,16 @@ def build_packed_volume(U: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-1)
 
 
-def sample_packed_volume(U8: jnp.ndarray, pts: jnp.ndarray, obs_min, obs_max):
+def sample_packed_volume(U8: jnp.ndarray, pts: jnp.ndarray, obs_min, obs_max,
+                         live: jnp.ndarray | None = None):
     """Single-gather trilerp of a packed volume -> (x_skel, fg, bone_w|None).
 
     Numerically identical to `sample_fused_volume` for in-range points
     (tests/test_fused_warp.py); out-of-range points get fg = 0 wholesale
-    (they composite to background either way).
+    (they composite to background either way). live: optional (N,) bool
+    conservative liveness (ops/liveness.py bands) -- dead samples clamp
+    their gather row to the shared row 0 (cache-hot) and output exactly 0,
+    which equals the unmasked result by the band guarantee.
     """
     G = U8.shape[0]
     C8 = U8.shape[-1]
@@ -209,6 +213,10 @@ def sample_packed_volume(U8: jnp.ndarray, pts: jnp.ndarray, obs_min, obs_max):
     y0, wy, vy = axis(f[:, 1])
     z0, wz, vz = axis(f[:, 2])
     flat = (z0 * G + y0) * G + x0
+    if live is not None:
+        lv = jax.lax.stop_gradient(live).reshape(-1) > 0
+        vx = vx & lv
+        flat = jnp.where(lv, flat, 0)
     g = rows[flat].reshape(-1, 8, C)                       # one gather
     w8 = jnp.stack([
         (1 - wz) * (1 - wy) * (1 - wx), (1 - wz) * (1 - wy) * wx,

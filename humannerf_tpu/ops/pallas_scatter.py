@@ -72,7 +72,16 @@ def _corner_weights(wx, wy, wz):
 
 
 def _slot_kernel(R, dtype, s_ref, flat_ref, p_ref, out_ref):
-    """One (sample-block, window) slot -> masked one-hot MXU scatter."""
+    """One (sample-block, window) slot -> masked one-hot MXU scatter.
+
+    Slot rows: [input block, window, valid, first_visit, compute]. The
+    zero-init on a window's first visit runs unconditionally (cheap, reads
+    nothing); the one-hot contraction is gated on `compute`, which is off
+    for padding slots AND for sample blocks whose every key is the
+    out-of-range sentinel G^3-1 (scatter_grad_volume's padding / the
+    band-dead tail) -- their input DMAs are also collapsed onto block 0
+    by _build_slots.
+    """
     B = flat_ref.shape[0]
     j = pl.program_id(0)
 
@@ -80,24 +89,35 @@ def _slot_kernel(R, dtype, s_ref, flat_ref, p_ref, out_ref):
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    w = s_ref[1, j]
-    valid = s_ref[2, j]
-    off = flat_ref[:] - w * R                            # (B, 1) i32
-    act = jnp.logical_and(jnp.logical_and(off >= 0, off < R), valid == 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
-    oh = jnp.logical_and(cols == off, act).astype(dtype)
-    out_ref[:] += jax.lax.dot_general(
-        oh, p_ref[:].astype(dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (R, 128)
+    @pl.when(s_ref[4, j] == 1)
+    def _acc():
+        w = s_ref[1, j]
+        off = flat_ref[:] - w * R                        # (B, 1) i32
+        act = jnp.logical_and(off >= 0, off < R)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
+        oh = jnp.logical_and(cols == off, act).astype(dtype)
+        out_ref[:] += jax.lax.dot_general(
+            oh, p_ref[:].astype(dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (R, 128)
 
 
-def _build_slots(flat_s, nb, blk, R, n_win, M):
-    """Static-shape (4, M) slot table [block, window, valid, first_visit]
-    plus the per-window visited mask (unvisited out blocks hold garbage
-    and are zeroed by the caller)."""
+def _build_slots(flat_s, nb, blk, R, n_win, M, G3):
+    """Static-shape (5, M) slot table [block, window, valid, first_visit,
+    compute] plus the per-window visited mask (unvisited out blocks hold
+    garbage and are zeroed by the caller).
+
+    Keys equal to the sentinel G3-1 never come from in-range samples (the
+    base corner is clipped to G-2 per axis, so the max real key is
+    (G-2)(G^2+G+1) < G3-1): they are padding rows or band-dead samples.
+    Sorted, they form a strict tail; sample blocks made only of sentinel
+    keys get compute=0 (the kernel skips their one-hot matmul) and their
+    input DMA collapses onto block 0 -- the contiguous dead tail then
+    costs ~one input fetch total (Mosaic's block-revisit optimization),
+    mirroring pallas_mlp._block_sched."""
     rb = flat_s.reshape(nb, blk)
     fw = rb[:, 0] // R                                   # (nb,)
     lw = rb[:, -1] // R
+    blk_live = rb[:, 0] < G3 - 1                         # sorted: min first
     nwin = lw - fw + 1
     c = jnp.concatenate([jnp.zeros(1, nwin.dtype),
                          jnp.cumsum(nwin)[:-1]])         # exclusive cumsum
@@ -109,8 +129,11 @@ def _build_slots(flat_s, nb, blk, R, n_win, M):
     w_of = jnp.clip(fw[b_of] + rel, 0, n_win - 1).astype(jnp.int32)
     first = jnp.concatenate(
         [jnp.ones(1, bool), w_of[1:] != w_of[:-1]])
-    slots = jnp.stack([b_of, w_of, valid.astype(jnp.int32),
-                       first.astype(jnp.int32)], axis=0)
+    compute = valid & blk_live[b_of]
+    b_in = jnp.where(compute, b_of, 0)
+    slots = jnp.stack([b_in, w_of, valid.astype(jnp.int32),
+                       first.astype(jnp.int32),
+                       compute.astype(jnp.int32)], axis=0)
     vis = jnp.zeros((n_win,), jnp.float32).at[w_of].max(
         valid.astype(jnp.float32))
     return slots, vis
@@ -127,7 +150,7 @@ def _scatter_call(flat_s, p_s, *, G, dtype_str, blk, R, interpret):
     n_win = -(-G3 // R)
     M = nb + n_win
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
-    slots, vis = _build_slots(flat_s, nb, blk, R, n_win, M)
+    slots, vis = _build_slots(flat_s, nb, blk, R, n_win, M, G3)
     kern = functools.partial(_slot_kernel, R, dtype)
     acc = pl.pallas_call(
         kern,
@@ -219,44 +242,60 @@ def scatter_grad_volume(flat, dacc, w8, *, grid_size, dtype=jnp.bfloat16,
 # -- the fused pack+gather+einsum op with the Pallas transpose -------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def packed_sample_acc(U, pts, obs_min, obs_max, dtype_str, blk, window):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def packed_sample_acc(U, pts, obs_min, obs_max, live, dtype_str, blk,
+                      window):
     """acc (N, 16) = trilinear read of the packed fused volume.
 
     Forward == build_packed_volume + sample_packed_volume's gather/einsum
     (ops/fused_warp.py:162-226); backward scatters d(U8) with the Pallas
     kernel above instead of XLA's scatter-add.
+
+    live: (N,) f32 conservative liveness mask (1 live / 0 dead; pass ones
+    when unknown). Dead samples clamp their gather row to the shared row 0
+    (cache-hot) and output exactly 0 -- exact when liveness is the
+    ops/liveness.py band guarantee (dead => every packed channel is 0).
+    The forward `where` makes their cotangents exactly 0 by construction,
+    so the backward sorts them onto the sentinel key G^3-1, where whole
+    dead sample blocks skip the scatter kernel's matmul and DMAs.
     """
-    acc, _ = _fwd_impl(U, pts, obs_min, obs_max)
+    acc, _ = _fwd_impl(U, pts, obs_min, obs_max, live)
     return acc
 
 
-def _fwd_impl(U, pts, obs_min, obs_max):
+def _fwd_impl(U, pts, obs_min, obs_max, live):
     from humannerf_tpu.ops.fused_warp import build_packed_volume
     G = U.shape[0]
     U8 = build_packed_volume(U)
     rows = U8.reshape(G * G * G, 8 * U.shape[-1])
     flat, (wx, wy, wz), valid, scale = _fractional(pts, obs_min, obs_max, G)
+    lv = live > 0
+    valid = valid & lv
+    flat = jnp.where(lv, flat, 0)                         # cache-hot rows
     g = rows[flat]                                        # (N, 128) 1 gather
     w8 = _corner_weights(wx, wy, wz)
     gc = g.reshape(-1, 8, 16).astype(jnp.float32)
     acc = jnp.einsum("nkc,nk->nc", gc, w8, precision=_HI)
     acc = jnp.where(valid[:, None], acc, 0.0)
-    return acc, (g, flat, wx, wy, wz, valid, scale)
+    return acc, (g, flat, wx, wy, wz, valid, lv, scale)
 
 
-def _psa_fwd(U, pts, obs_min, obs_max, dtype_str, blk, window):
-    acc, res = _fwd_impl(U, pts, obs_min, obs_max)
+def _psa_fwd(U, pts, obs_min, obs_max, live, dtype_str, blk, window):
+    acc, res = _fwd_impl(U, pts, obs_min, obs_max, live)
     return acc, res + (U.shape[0],)
 
 
 def _psa_bwd(dtype_str, blk, window, res, d_acc):
-    g, flat, wx, wy, wz, valid, scale, G = res
+    g, flat, wx, wy, wz, valid, lv, scale, G = res
     d_accm = jnp.where(valid[:, None], d_acc, 0.0).astype(jnp.float32)
     w8 = _corner_weights(wx, wy, wz)
     interpret = jax.default_backend() != "tpu"
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
-    dU = scatter_grad_volume(flat, d_accm, w8, grid_size=G, dtype=dtype,
+    # dead samples' payloads are exactly 0 (d_accm is masked by valid,
+    # which folds in liveness); remapping their keys to the sentinel
+    # G^3-1 sorts them into the skippable tail next to the padding
+    flat_b = jnp.where(lv, flat, G * G * G - 1)
+    dU = scatter_grad_volume(flat_b, d_accm, w8, grid_size=G, dtype=dtype,
                              blk=blk, window=window, interpret=interpret)
     # d(pts): through the corner weights only (floor/clip have zero grad)
     gc = g.reshape(-1, 8, 16).astype(jnp.float32)
@@ -281,23 +320,29 @@ def _psa_bwd(dtype_str, blk, window, res, d_acc):
     d_wy = jnp.sum(d_w8 * fzx * sy, axis=1)
     d_wz = jnp.sum(d_w8 * fyx * sz, axis=1)
     d_pts = jnp.stack([d_wx, d_wy, d_wz], axis=1) * scale[None, :]
-    # bounding boxes are data-derived (non-trainable): zero grad
+    # bounding boxes are data-derived (non-trainable): zero grad; the
+    # liveness mask is a non-trainable gate
     return (dU, d_pts.astype(jnp.float32), jnp.zeros(3, jnp.float32),
-            jnp.zeros(3, jnp.float32))
+            jnp.zeros(3, jnp.float32), jnp.zeros(flat.shape, jnp.float32))
 
 
 packed_sample_acc.defvjp(_psa_fwd, _psa_bwd)
 
 
 def sample_packed_grad(U, pts, obs_min, obs_max, *, dtype=jnp.bfloat16,
-                       blk=1024, window=256):
+                       blk=1024, window=256, live=None):
     """Drop-in for pack+sample on the C=16 training path.
 
     Returns (x_skel, fg, None) like sample_packed_volume with a plain
-    (non-bone-weight) volume.
+    (non-bone-weight) volume. live: optional (N,) bool/f32 conservative
+    sample liveness (ops/liveness.py bands) -- see packed_sample_acc.
     """
     dtype_str = "bfloat16" if dtype == jnp.bfloat16 else "float32"
-    acc = packed_sample_acc(U, pts, obs_min, obs_max, dtype_str, blk,
+    if live is None:
+        live = jnp.ones(pts.shape[:1], jnp.float32)
+    else:
+        live = jax.lax.stop_gradient(live).astype(jnp.float32)
+    acc = packed_sample_acc(U, pts, obs_min, obs_max, live, dtype_str, blk,
                             window)
     B = acc[:, :9].reshape(-1, 3, 3)
     c = acc[:, 9:12]

@@ -130,6 +130,61 @@ def test_band_sort_keys_shape(world):
         assert k[~live].min() > k[live].max()
 
 
+def test_band_gather_train_grads_parity():
+    """Full-model training gradients with the band-gather skip ON equal
+    the OFF run exactly-ish (the bands only remove provably-zero work):
+    exercises the sentinel-key dead tail in the Pallas scatter backward
+    (ops/pallas_scatter.py) through render_rays(train=True)."""
+    import jax
+
+    from __graft_entry__ import _small_cfg, _synthetic_inputs
+    from humannerf_tpu.models.network import HumanNeRF
+
+    frac = {}
+
+    def grads(band_gather):
+        cfg = _small_cfg(**{"dtype": "'float32'"})
+        cfg.pallas.mlp_interpret = True
+        cfg.pallas.band_gather = band_gather
+        net = HumanNeRF(cfg)
+        params = net.init_params(jax.random.key(0))
+        frame, rays = _synthetic_inputs(cfg, n_rays=64)
+        if band_gather and "frac" not in frac:
+            from humannerf_tpu.ops import liveness
+            ctx = net.prepare_frame(params, frame, jnp.asarray(1e7),
+                                    train=True)
+            assert "band_sup_lo" in ctx
+            z = sample_along_rays(rays["near"], rays["far"],
+                                  int(cfg.N_samples))
+            t0, t1 = liveness.ray_band_intervals(
+                rays["rays_o"], rays["rays_d"], rays["near"], rays["far"],
+                ctx["band_Rs"], ctx["band_Ts"], ctx["cnl_bbox_min_xyz"],
+                ctx["cnl_bbox_scale_xyz"], ctx["band_dims"],
+                ctx["band_sup_lo"], ctx["band_sup_hi"],
+                obs_step=ctx["band_obs_step"])
+            frac["frac"] = float(
+                liveness.sample_live_mask(z, t0, t1).mean())
+
+        def loss(p):
+            out = net.render_rays(p, frame, rays, jnp.asarray(1e7),
+                                  jax.random.key(1), train=True)
+            return jnp.sum(out["rgb"] ** 2)
+        return jax.grad(loss)(params)
+
+    g_off = grads(False)
+    g_on = grads(True)
+    # the skip must have something to skip in this fixture
+    assert frac["frac"] < 0.95
+    flat_ref, t1 = jax.tree_util.tree_flatten_with_path(g_off)
+    flat_out, t2 = jax.tree_util.tree_flatten_with_path(g_on)
+    assert t1 == t2
+    for (path, a), (_, b) in zip(flat_ref, flat_out):
+        scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-5, atol=5e-5 * scale,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_analytic_render_path_parity():
     """render_rays through the analytic-band fast path == the legacy
     fg-sorted path (same kernels, bijective reorder), interpret mode."""

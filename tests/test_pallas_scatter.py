@@ -101,6 +101,59 @@ def test_grad_padding_path(setup):
                                rtol=1e-5, atol=1e-5 * scale)
 
 
+def test_live_mask_fwd_and_grad(setup):
+    """Contract: with a liveness mask, the op computes
+    where(live, base, 0) -- forward AND gradients match the XLA autodiff
+    of that same masked reference, for any mask (the band guarantee only
+    makes the masking a no-op; the op must be exact regardless). The mask
+    is shaped so whole sorted sample blocks go dead (the kernel-skip path)
+    and N % blk != 0 exercises the shared dead/padding tail."""
+    U, pts, omin, omax, cot, cot_s = setup
+    n = 2 * BLK + 51
+    rng = np.random.RandomState(3)
+    live = jnp.asarray((rng.rand(n) < 0.35).astype(np.float32))
+
+    def ref_loss(U, pts, cot, cot_s):
+        U8 = fused_warp.build_packed_volume(U)
+        x, s, _ = fused_warp.sample_packed_volume(U8, pts, omin, omax)
+        x = jnp.where(live[:, None] > 0, x, 0.0)
+        s = jnp.where(live[:, None] > 0, s, 0.0)
+        return jnp.sum(x * cot) + jnp.sum(s * cot_s)
+
+    def new_loss(U, pts, cot, cot_s):
+        x, s, _ = pallas_scatter.sample_packed_grad(
+            U, pts, omin, omax, dtype=jnp.float32, blk=BLK, window=WIN,
+            live=live)
+        return jnp.sum(x * cot) + jnp.sum(s * cot_s)
+
+    args = (U, pts[:n], cot[:n], cot_s[:n])
+    np.testing.assert_allclose(np.asarray(new_loss(*args)),
+                               np.asarray(ref_loss(*args)), rtol=1e-5)
+    g_ref = jax.grad(ref_loss, argnums=(0, 1))(*args)
+    g_new = jax.grad(new_loss, argnums=(0, 1))(*args)
+    for name, a, b in zip(("dU", "dpts"), g_ref, g_new):
+        scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5 * scale,
+            err_msg=name)
+
+
+def test_live_mask_fused_warp_parity(setup):
+    """sample_packed_volume's live clamp: where(live, base, 0) exactly."""
+    U, pts, omin, omax, _, _ = setup
+    U8 = fused_warp.build_packed_volume(U)
+    rng = np.random.RandomState(5)
+    live = jnp.asarray(rng.rand(pts.shape[0]) < 0.5)
+    x_b, s_b, _ = fused_warp.sample_packed_volume(U8, pts, omin, omax)
+    x_m, s_m, _ = fused_warp.sample_packed_volume(U8, pts, omin, omax,
+                                                  live=live)
+    lv = np.asarray(live)
+    np.testing.assert_array_equal(np.asarray(x_m[lv]), np.asarray(x_b[lv]))
+    np.testing.assert_array_equal(np.asarray(s_m[lv]), np.asarray(s_b[lv]))
+    assert float(jnp.abs(x_m[~lv]).max()) == 0.0
+    assert float(jnp.abs(s_m[~lv]).max()) == 0.0
+
+
 def test_train_path_grad_parity_end_to_end():
     """Wiring test: render_rays(train=True) routes through sample_packed_grad
     (ctx['scatter_U']) and its full-model gradients match the packed jnp
