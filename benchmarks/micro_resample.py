@@ -73,12 +73,22 @@ def main():
         obs_min, step, jnp.zeros(4, jnp.float32)]).reshape(1, 16)
 
     rng = np.random.RandomState(0)
-    g = rng.randn(G ** 3, K).astype(np.float32)
     nblk = -(-G ** 3 // args.blk)
-    gb = g[:nblk * args.blk].reshape(nblk, args.blk, K)
-    dead_idx = rng.rand(nblk) < args.dead
-    gb[dead_idx] = 0.0
-    g_sparse = jnp.asarray(gb.reshape(-1, K)[:G ** 3])
+    # spatially-coherent cotangent deadness: live cotangents cluster
+    # around the body (live samples' gather stencils), modeled as a
+    # centered ball whose radius hits the requested dead fraction --
+    # raster z-slab blocks almost all intersect a centered ball, compact
+    # tiles outside it are wholly dead, which is the layout contrast
+    # that matters on real frames
+    ii = np.arange(G, dtype=np.float32) - (G - 1) / 2
+    zz, yy, xx = np.meshgrid(ii, ii, ii, indexing="ij")
+    r2 = (xx ** 2 + yy ** 2 + zz ** 2).reshape(-1)
+    r_live = np.quantile(r2, 1.0 - args.dead)
+    live_pts = r2 <= r_live
+    g_sparse = rng.randn(G ** 3, K).astype(np.float32)
+    g_sparse[~live_pts] = 0.0
+    print(f"# cot-live points: {live_pts.mean():.3f}", flush=True)
+    g_sparse = jnp.asarray(g_sparse)
     g_dense = jnp.asarray(rng.randn(G ** 3, K).astype(np.float32))
 
     # report the mask statistics
@@ -89,21 +99,33 @@ def main():
     print(f"# support-mask live (block,bone) pairs: "
           f"{popcount.mean() / K:.3f}", flush=True)
 
-    def run(gv, support):
+    # tiled-layout mask statistics (the shipped default)
+    tile = prs._tile_dims(G, args.blk)
+    if tile is not None:
+        bits_t = prs._support_mask(vols2d, aff, bbox, nblk, args.blk, G,
+                                   (D, D, D), tile)
+        pc_t = np.asarray(jnp.sum(
+            jnp.stack([(bits_t >> k) & 1 for k in range(K)]), axis=0))
+        print(f"# tiled {tile} support-mask live (block,bone) pairs: "
+              f"{pc_t.mean() / K:.3f}", flush=True)
+
+    def run(gv, support, tiled):
         def f():
             dv, dA, dT = prs._bwd_call(
                 vols2d, aff, bbox, gv, G=G, dims=(D, D, D),
                 dtype_str="bfloat16", blk=args.blk, support_skip=support,
-                interpret=False)
+                interpret=False, tiled=tiled)
             return dv.sum() + dA.sum() + dT.sum()
         return amort(jax.jit(f))
 
-    print(f"bwd dense-cot  no-skip : {run(g_dense, False):7.2f} ms",
-          flush=True)
-    print(f"bwd dense-cot  support : {run(g_dense, True):7.2f} ms",
-          flush=True)
-    print(f"bwd {args.dead:.0%}-dead support : "
-          f"{run(g_sparse, True):7.2f} ms", flush=True)
+    for tiled in ([False, True] if tile is not None else [False]):
+        lay = "tiled " if tiled else "raster"
+        print(f"bwd {lay} dense-cot  no-skip : "
+              f"{run(g_dense, False, tiled):7.2f} ms", flush=True)
+        print(f"bwd {lay} dense-cot  support : "
+              f"{run(g_dense, True, tiled):7.2f} ms", flush=True)
+        print(f"bwd {lay} {args.dead:.0%}-dead support : "
+              f"{run(g_sparse, True, tiled):7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

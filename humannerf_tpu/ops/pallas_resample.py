@@ -63,16 +63,62 @@ def _rep_mats(H, W):
     return Ry, Rx
 
 
-def _grid_cols(pi, blk, G, bbox_ref):
+def _tile_dims(G, blk):
+    """Spatial-tile shape (tz, ty, tx) for the tiled point layout, or None.
+
+    Raster point blocks are thin z-slab strips (blk=512 at G=48 is ~11
+    rows of one slice), so nearly every block touches the body and the
+    per-block skips almost never fire. Re-ordering points into compact
+    (tz, 8, 8) sub-cubes makes empty space block-coherent: one block = a
+    cube, and cubes outside the body are wholly dead for both the
+    cotangent-dead and the bone-support skip. Returns None when G/blk
+    don't factor (callers fall back to raster order).
+    """
+    if G % 8 != 0 or blk % 64 != 0:
+        return None
+    tz = min(blk // 64, G)
+    while tz > 1 and (G % tz != 0 or blk % (tz * 64) != 0):
+        tz -= 1
+    if G % tz != 0 or blk % (tz * 64) != 0:
+        return None
+    return (tz, 8, 8)
+
+
+def _tiled_raster_ids(G, tile):
+    """(G^3,) i32: raster point id of each tiled-layout position."""
+    tz, ty, tx = tile
+    ntx, nty = G // tx, G // ty
+    ids = jnp.arange(G * G * G, dtype=jnp.int32)
+    tilesz = tz * ty * tx
+    t, w = ids // tilesz, ids % tilesz
+    lx, ly, lz = w % tx, (w // tx) % ty, w // (tx * ty)
+    xi = (t % ntx) * tx + lx
+    yi = ((t // ntx) % nty) * ty + ly
+    zi = (t // (ntx * nty)) * tz + lz
+    return (zi * G + yi) * G + xi
+
+
+def _grid_cols(pi, blk, G, bbox_ref, tile=None):
     """Block-local obs-grid positions as three (B, 1) columns.
 
-    Flat layout matches fused_warp.make_obs_grid: id = (z*G + y)*G + x,
-    pos = (xs[x], ys[y], zs[z]) over linspace(obs_min, obs_max, G).
+    tile=None: flat layout matches fused_warp.make_obs_grid,
+    id = (z*G + y)*G + x, pos = (xs[x], ys[y], zs[z]) over
+    linspace(obs_min, obs_max, G). tile=(tz, ty, tx): the tiled layout of
+    _tiled_raster_ids (the caller permutes the cotangent to match).
     """
     ids = pi * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
-    zi = (ids // (G * G)).astype(jnp.float32)
-    yi = ((ids // G) % G).astype(jnp.float32)
-    xi = (ids % G).astype(jnp.float32)
+    if tile is None:
+        zi = (ids // (G * G)).astype(jnp.float32)
+        yi = ((ids // G) % G).astype(jnp.float32)
+        xi = (ids % G).astype(jnp.float32)
+    else:
+        tz, ty, tx = tile
+        ntx, nty = G // tx, G // ty
+        tilesz = tz * ty * tx
+        t, w = ids // tilesz, ids % tilesz
+        xi = ((t % ntx) * tx + w % tx).astype(jnp.float32)
+        yi = (((t // ntx) % nty) * ty + (w // tx) % ty).astype(jnp.float32)
+        zi = ((t // (ntx * nty)) * tz + w // (tx * ty)).astype(jnp.float32)
     def lin(d, t):
         lo = bbox_ref[0, 6 + d]
         step = bbox_ref[0, 9 + d]
@@ -98,8 +144,8 @@ def _bone_coords(px, py, pz, aff_ref, bbox_ref, k, dims):
             (qx, qy, qz))
 
 
-def _bwd_kernel(G, dims, dtype, lv_ref, vols_ref, aff_ref, bbox_ref, g_ref,
-                dvols_ref, dA_ref, dT_ref):
+def _bwd_kernel(G, dims, dtype, tile, lv_ref, vols_ref, aff_ref, bbox_ref,
+                g_ref, dvols_ref, dA_ref, dT_ref):
     """lv_ref (scalar prefetch, (nblk,) i32): per-block bone liveness
     bitmask; 0 = the whole block is skipped. Bits are cleared when
     (a) the block's incoming cotangent is exactly zero (contributes
@@ -127,7 +173,7 @@ def _bwd_kernel(G, dims, dtype, lv_ref, vols_ref, aff_ref, bbox_ref, g_ref,
         # per-bone pl.when gating is free on fully-live blocks (measured
         # 28.4 ms either way at G=48/K=24/blk=512 isolated) and the
         # kernel time scales ~linearly with live (block, bone) pairs
-        px, py, pz = _grid_cols(pid, blk, G, bbox_ref)
+        px, py, pz = _grid_cols(pid, blk, G, bbox_ref, tile)
         Ry, Rx = _rep_mats(H, W)
         prec = _HI if dtype == jnp.float32 else None
         g = g_ref[:]
@@ -205,16 +251,33 @@ def _const_spec(shape, ms=pltpu.VMEM):
     return pl.BlockSpec(shape, lambda i, s: (0,) * nd, memory_space=ms)
 
 
-def _block_axis_ranges(nblk, blk, G):
-    """Conservative per-axis index ranges of each flat point block.
+def _block_axis_ranges(nblk, blk, G, tile=None):
+    """Conservative per-axis index ranges of each point block.
 
-    Flat layout (z*G + y)*G + x (make_obs_grid). Returns ((xlo, xhi),
-    (ylo, yhi), (zlo, zhi)) as (nblk,) i32 vectors. x is always the full
+    Raster layout (tile=None, id = (z*G + y)*G + x): x is always the full
     row (blk >= G in practice); y falls back to the full range whenever
-    the block's row interval wraps a z boundary.
+    the block's row interval wraps a z boundary. Tiled layout: a block is
+    blk // (tz*ty*tx) consecutive compact sub-cubes; ranges are the exact
+    union of the covered tiles' AABBs. Returns ((xlo, xhi), (ylo, yhi),
+    (zlo, zhi)) as (nblk,) i32 vectors.
     """
     a = jnp.arange(nblk, dtype=jnp.int32) * blk
     b = a + blk - 1
+    if tile is not None:
+        tz, ty, tx = tile
+        ntx, nty = G // tx, G // ty
+        tilesz = tz * ty * tx
+        c = blk // tilesz
+        t = a[:, None] // tilesz + jnp.arange(c, dtype=jnp.int32)[None]
+        # tiles past the point count (padded tail) clamp to the last tile
+        t = jnp.minimum(t, G * G * G // tilesz - 1)
+        xlo = jnp.min((t % ntx) * tx, axis=1)
+        xhi = jnp.max((t % ntx) * tx, axis=1) + tx - 1
+        ylo = jnp.min(((t // ntx) % nty) * ty, axis=1)
+        yhi = jnp.max(((t // ntx) % nty) * ty, axis=1) + ty - 1
+        zlo = jnp.min((t // (ntx * nty)) * tz, axis=1)
+        zhi = jnp.max((t // (ntx * nty)) * tz, axis=1) + tz - 1
+        return (xlo, xhi), (ylo, yhi), (zlo, zhi)
     zlo, zhi = a // (G * G), b // (G * G)
     rlo, rhi = a // G, b // G                      # global row ids
     ylo_raw, yhi_raw = rlo % G, rhi % G
@@ -228,7 +291,7 @@ def _block_axis_ranges(nblk, blk, G):
     return (xlo, xhi), (ylo, yhi), (zlo, zhi)
 
 
-def _support_mask(vols2d, aff, bbox, nblk, blk, G, dims):
+def _support_mask(vols2d, aff, bbox, nblk, blk, G, dims, tile=None):
     """(nblk,) i32 bitmask: bit k = bone k's weight support can intersect
     the block's warped trilinear stencil. Cleared bits are exactly-zero
     contributions to dA/dT, and dvols contributions landing on
@@ -252,7 +315,7 @@ def _support_mask(vols2d, aff, bbox, nblk, blk, G, dims):
            for nz, s in zip((nzx, nzy, nzz), sizes)]
 
     # block AABBs in obs world coords
-    rngs = _block_axis_ranges(nblk, blk, G)
+    rngs = _block_axis_ranges(nblk, blk, G, tile)
     lo3, hi3 = [], []
     for d, (ilo, ihi) in enumerate(rngs):
         base, step = bbox[0, 6 + d], bbox[0, 9 + d]
@@ -283,11 +346,19 @@ def _support_mask(vols2d, aff, bbox, nblk, blk, G, dims):
 
 @functools.partial(jax.jit,
                    static_argnames=("G", "dims", "dtype_str", "blk",
-                                    "support_skip", "interpret"))
+                                    "support_skip", "interpret", "tiled"))
 def _bwd_call(vols2d, aff, bbox, g, *, G, dims, dtype_str, blk,
-              support_skip, interpret):
+              support_skip, interpret, tiled=True):
     K = vols2d.shape[0]
     N = G * G * G
+    # spatial-tile point order (see _tile_dims): one block = compact
+    # sub-cubes instead of thin z-slab strips, so empty space is
+    # block-coherent and both skips actually fire. The output grads are
+    # point-order independent (bone-space accumulators), so only the
+    # incoming cotangent needs permuting -- a bijection, exact.
+    tile = _tile_dims(G, blk) if tiled else None
+    if tile is not None:
+        g = jnp.take(g, _tiled_raster_ids(G, tile), axis=0)
     npad = -(-N // blk) * blk
     if npad != N:
         g = jnp.concatenate(
@@ -299,12 +370,13 @@ def _bwd_call(vols2d, aff, bbox, g, *, G, dims, dtype_str, blk,
     # whole downstream gradient, and on the padded tail)
     g_live = jnp.max(jnp.abs(g).reshape(nblk, blk * K), axis=1) > 0
     if support_skip and K <= 30:
-        bone_bits = _support_mask(vols2d, aff, bbox, nblk, blk, G, dims)
+        bone_bits = _support_mask(vols2d, aff, bbox, nblk, blk, G, dims,
+                                  tile)
     else:
         bone_bits = jnp.full((nblk,), (1 << K) - 1, jnp.int32)
     lv = jnp.where(g_live, bone_bits, 0)
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
-    kern = functools.partial(_bwd_kernel, G, dims, dtype)
+    kern = functools.partial(_bwd_kernel, G, dims, dtype, tile)
     dvols, dA, dT = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
