@@ -52,14 +52,43 @@ def _phi(f, size):
     return h0 * ((1.0 - w) * v0) + h1 * (w * v1), h0, h1, w, v0, v1
 
 
-def _rep_mats(H, W):
-    """Iota-built replication matrices for the y/x contractions."""
-    ry_r = jax.lax.broadcasted_iota(jnp.int32, (H, H * W), 0)
-    ry_c = jax.lax.broadcasted_iota(jnp.int32, (H, H * W), 1)
-    Ry = (ry_c // W == ry_r).astype(jnp.float32)       # (H, H*W)
-    rx_r = jax.lax.broadcasted_iota(jnp.int32, (W, H * W), 0)
-    rx_c = jax.lax.broadcasted_iota(jnp.int32, (W, H * W), 1)
-    Rx = (rx_c % W == rx_r).astype(jnp.float32)        # (W, H*W)
+def _phi_win(f, size, off, wsize):
+    """Windowed 2-hot interp matrix (B, wsize) at global offset `off`.
+
+    Columns are global indices [off, off + wsize); validity bounds stay
+    GLOBAL (zeros padding against the full axis). Entries whose clipped
+    stencil index falls outside the window are silently dropped -- callers
+    must guarantee window coverage (the _window_tables fit test).
+    """
+    i0 = jnp.floor(f)
+    w = f - i0
+    v0 = ((i0 >= 0) & (i0 <= size - 1)).astype(jnp.float32)
+    v1 = ((i0 + 1 >= 0) & (i0 + 1 <= size - 1)).astype(jnp.float32)
+    offf = off.astype(jnp.float32) if hasattr(off, "dtype") else float(off)
+    i0c = jnp.clip(i0, 0, size - 1) - offf
+    i1c = jnp.clip(i0 + 1, 0, size - 1) - offf
+    B = f.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, wsize), 1
+                                    ).astype(jnp.float32)
+    h0 = (cols == i0c).astype(jnp.float32)
+    h1 = (cols == i1c).astype(jnp.float32)
+    return h0 * ((1.0 - w) * v0) + h1 * (w * v1), h0, h1, w, v0, v1
+
+
+def _rep_mats(H, W, hw=None):
+    """Iota-built replication matrices for the y/x contractions.
+
+    hw defaults to H*W; pass a window width (Hw*W) for the windowed
+    kernel -- the patterns are window-local and static because lane
+    windows start at whole-H-row boundaries (hoff*W)."""
+    if hw is None:
+        hw = H * W
+    ry_r = jax.lax.broadcasted_iota(jnp.int32, (H, hw), 0)
+    ry_c = jax.lax.broadcasted_iota(jnp.int32, (H, hw), 1)
+    Ry = (ry_c // W == ry_r).astype(jnp.float32)       # (H, hw)
+    rx_r = jax.lax.broadcasted_iota(jnp.int32, (W, hw), 0)
+    rx_c = jax.lax.broadcasted_iota(jnp.int32, (W, hw), 1)
+    Rx = (rx_c % W == rx_r).astype(jnp.float32)        # (W, hw)
     return Ry, Rx
 
 
@@ -246,9 +275,109 @@ def _bwd_kernel(G, dims, dtype, tile, lv_ref, vols_ref, aff_ref, bbox_ref,
                 dT_ref[k:k + 1, :] += dT
 
 
+def _bwd_kernel_win(G, dims, dtype, tile, lv_ref, zb_ref, h0_ref, h1_ref,
+                    vols_ref, aff_ref, bbox_ref, g_ref,
+                    dvols_ref, dA_ref, dT_ref):
+    """Windowed variant of _bwd_kernel (see the module-level comment at
+    _DW): per live bone, all volume contractions run on a
+    (_DW, _HW_ROWS*W) window of bone k's (D, H*W) volume, read and
+    accumulated at dynamic (8-aligned sublane, 128-aligned lane) offsets
+    decoded from the prefetched zbits/hidx tables. The liveness bitmask
+    lv carries only pairs whose stencil range FITS the window
+    (_window_tables); leftovers go to the legacy kernel."""
+    D, H, W = dims
+    blk = g_ref.shape[0]
+    K = vols_ref.shape[0]
+    HWW = _HW_ROWS * W
+
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _zero():
+        dvols_ref[:] = jnp.zeros_like(dvols_ref)
+        dA_ref[:] = jnp.zeros_like(dA_ref)
+        dT_ref[:] = jnp.zeros_like(dT_ref)
+
+    mask = lv_ref[pid]
+    zbits = zb_ref[pid]
+    h16 = (h0_ref[pid], h1_ref[pid])
+
+    @pl.when(mask != 0)
+    def _body():
+        px, py, pz = _grid_cols(pid, blk, G, bbox_ref, tile)
+        Ry, Rx = _rep_mats(_HW_ROWS, W)                 # (Hw, HWW), (W, HWW)
+        prec = _HI if dtype == jnp.float32 else None
+        g = g_ref[:]
+        for k in range(K):
+
+            @pl.when((mask >> k) & 1 != 0)
+            def _bone(k=k):
+                zoff = pl.multiple_of(((zbits >> k) & 1) * 8, 8)
+                hidx = (h16[k // 16] >> (2 * (k % 16))) & 3
+                hrow = hidx * 4
+                hlane = pl.multiple_of(hidx * (4 * W), 128)
+                fx, fy, fz, _q = _bone_coords(px, py, pz, aff_ref,
+                                              bbox_ref, k, dims)
+                phz, hz0, hz1, wz, vz0, vz1 = _phi_win(fz, D, zoff, _DW)
+                phy, hy0, hy1, wy, vy0, vy1 = _phi_win(fy, H, hrow,
+                                                       _HW_ROWS)
+                phx, hx0, hx1, wx, vx0, vx1 = _phi(fx, W)
+                volk = vols_ref[k, pl.ds(zoff, _DW),
+                                pl.ds(hlane, HWW)].astype(dtype)
+                t1 = jnp.dot(phz.astype(dtype), volk, precision=prec,
+                             preferred_element_type=jnp.float32)
+                yrep = jnp.dot(phy.astype(dtype), Ry.astype(dtype),
+                               precision=prec,
+                               preferred_element_type=jnp.float32)
+                u = t1 * yrep                                   # (B, HWW)
+                t2 = jax.lax.dot_general(                       # (B, W)
+                    u.astype(dtype), Rx.astype(dtype),
+                    (((1,), (1,)), ((), ())),
+                    precision=prec, preferred_element_type=jnp.float32)
+
+                gk = g[:, k:k + 1]                              # (B, 1)
+                dphx = gk * t2
+                dt2 = gk * phx                                  # (B, W)
+                du = jnp.dot(dt2.astype(dtype), Rx.astype(dtype),
+                             precision=prec,
+                             preferred_element_type=jnp.float32)
+                dt1 = du * yrep
+                dyrep = du * t1
+                dvols_ref[k, pl.ds(zoff, _DW), pl.ds(hlane, HWW)] += \
+                    jax.lax.dot_general(
+                        phz.astype(dtype), dt1.astype(dtype),
+                        (((0,), (0,)), ((), ())),
+                        precision=prec, preferred_element_type=jnp.float32)
+                dphz = jax.lax.dot_general(
+                    dt1.astype(dtype), volk, (((1,), (1,)), ((), ())),
+                    precision=prec, preferred_element_type=jnp.float32)
+                dphy = jax.lax.dot_general(
+                    dyrep.astype(dtype), Ry.astype(dtype),
+                    (((1,), (1,)), ((), ())),
+                    precision=prec, preferred_element_type=jnp.float32)
+
+                dfz = jnp.sum(dphz * (hz1 * vz1 - hz0 * vz0), axis=1,
+                              keepdims=True)
+                dfy = jnp.sum(dphy * (hy1 * vy1 - hy0 * vy0), axis=1,
+                              keepdims=True)
+                dfx = jnp.sum(dphx * (hx1 * vx1 - hx0 * vx0), axis=1,
+                              keepdims=True)
+                dqx = dfx * (bbox_ref[0, 3] * 0.5 * (W - 1))
+                dqy = dfy * (bbox_ref[0, 4] * 0.5 * (H - 1))
+                dqz = dfz * (bbox_ref[0, 5] * 0.5 * (D - 1))
+                dq = jnp.concatenate([dqx, dqy, dqz], axis=-1)   # (B, 3)
+                p = jnp.concatenate([px, py, pz], axis=-1)       # (B, 3)
+                dA = jax.lax.dot_general(
+                    dq, p, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # (3, 3)
+                dT = jnp.sum(dq, axis=0, keepdims=True)          # (1, 3)
+                dA_ref[k] += dA
+                dT_ref[k:k + 1, :] += dT
+
+
 def _const_spec(shape, ms=pltpu.VMEM):
     nd = len(shape)
-    return pl.BlockSpec(shape, lambda i, s: (0,) * nd, memory_space=ms)
+    return pl.BlockSpec(shape, lambda i, *s: (0,) * nd, memory_space=ms)
 
 
 def _block_axis_ranges(nblk, blk, G, tile=None):
@@ -291,6 +420,42 @@ def _block_axis_ranges(nblk, blk, G, tile=None):
     return (xlo, xhi), (ylo, yhi), (zlo, zhi)
 
 
+def _warped_frac_ranges(aff, bbox, nblk, blk, G, dims, tile=None):
+    """Conservative per-(block, bone, axis) fractional-coord intervals.
+
+    Warps each point block's obs-space AABB through every bone affine
+    (interval arithmetic: |A| on half-extents) and converts to fractional
+    volume coordinates. Returns (flo, fhi), each (nblk, K, 3) with axis
+    order (x/W, y/H, z/D) -- the frac convention of _bone_coords.
+    """
+    K = aff.shape[0]
+    D, H, W = dims
+    sizes = (W, H, D)
+    rngs = _block_axis_ranges(nblk, blk, G, tile)
+    lo3, hi3 = [], []
+    for d, (ilo, ihi) in enumerate(rngs):
+        base, step = bbox[0, 6 + d], bbox[0, 9 + d]
+        lo3.append(base + ilo.astype(jnp.float32) * step)
+        hi3.append(base + ihi.astype(jnp.float32) * step)
+    c = jnp.stack([(l + h) * 0.5 for l, h in zip(lo3, hi3)], axis=1)
+    h = jnp.stack([(hh - l) * 0.5 for l, hh in zip(lo3, hi3)], axis=1)
+
+    A = aff[:, :9].reshape(K, 3, 3)
+    T = aff[:, 9:12]
+    qc = jnp.einsum("kij,bj->bki", A, c) + T[None]       # (nblk, K, 3)
+    qh = jnp.einsum("kij,bj->bki", jnp.abs(A), h)        # (nblk, K, 3)
+
+    flo, fhi = [], []
+    for d in range(3):
+        size = sizes[d]
+        # frac = ((q - cnl_min) * cnl_scale) / 2 * (size - 1); scale > 0
+        def frac(q, d=d, size=size):
+            return (q - bbox[0, d]) * bbox[0, 3 + d] * 0.5 * (size - 1)
+        flo.append(frac(qc[..., d] - qh[..., d]))
+        fhi.append(frac(qc[..., d] + qh[..., d]))
+    return jnp.stack(flo, axis=-1), jnp.stack(fhi, axis=-1)
+
+
 def _support_mask(vols2d, aff, bbox, nblk, blk, G, dims, tile=None):
     """(nblk,) i32 bitmask: bit k = bone k's weight support can intersect
     the block's warped trilinear stencil. Cleared bits are exactly-zero
@@ -314,41 +479,79 @@ def _support_mask(vols2d, aff, bbox, nblk, blk, G, dims, tile=None):
     sup = [support_range(nz, s)
            for nz, s in zip((nzx, nzy, nzz), sizes)]
 
-    # block AABBs in obs world coords
-    rngs = _block_axis_ranges(nblk, blk, G, tile)
-    lo3, hi3 = [], []
-    for d, (ilo, ihi) in enumerate(rngs):
-        base, step = bbox[0, 6 + d], bbox[0, 9 + d]
-        lo3.append(base + ilo.astype(jnp.float32) * step)
-        hi3.append(base + ihi.astype(jnp.float32) * step)
-    c = jnp.stack([(l + h) * 0.5 for l, h in zip(lo3, hi3)], axis=1)
-    h = jnp.stack([(hh - l) * 0.5 for l, hh in zip(lo3, hi3)], axis=1)
-
-    A = aff[:, :9].reshape(K, 3, 3)
-    T = aff[:, 9:12]
-    qc = jnp.einsum("kij,bj->bki", A, c) + T[None]       # (nblk, K, 3)
-    qh = jnp.einsum("kij,bj->bki", jnp.abs(A), h)        # (nblk, K, 3)
-
+    flo, fhi = _warped_frac_ranges(aff, bbox, nblk, blk, G, dims, tile)
     live = jnp.ones((nblk, K), bool)
     for d in range(3):
-        size = sizes[d]
-        # frac = ((q - cnl_min) * cnl_scale) / 2 * (size - 1); scale > 0
-        def frac(q, d=d, size=size):
-            return (q - bbox[0, d]) * bbox[0, 3 + d] * 0.5 * (size - 1)
-        flo = frac(qc[..., d] - qh[..., d])
-        fhi = frac(qc[..., d] + qh[..., d])
         imin, imax = sup[d]
-        live &= (fhi >= imin[None]) & (flo <= imax[None])
+        live &= (fhi[..., d] >= imin[None]) & (flo[..., d] <= imax[None])
     bits = jnp.left_shift(
         live.astype(jnp.int32), jnp.arange(K, dtype=jnp.int32)[None])
     return jnp.sum(bits, axis=1).astype(jnp.int32)
 
 
+# -- windowed backward: per-(block, bone) support windows ------------------
+#
+# A compact point tile warps through an affine to a small axis-aligned
+# band of the canonical volume (measured at production shapes, G=48 /
+# blk=512 / tile (8,8,8): z-extent <= 15 of 32, y-extent <= 8 of 32), so
+# the per-bone contractions only ever touch a (Dw, Hw*W) window of the
+# (D, H*W) volume. The windowed kernel reads volume windows at dynamic
+# (8-aligned sublane, 128-aligned lane) offsets and accumulates d(vols)
+# into the matching window -- cutting the matmul FLOPs to ~0.4x and the
+# dominant (B, H*W) VPU passes to Hw/H. Pairs whose stencil range does
+# not fit a window (possible only for exotic tile/affine combinations)
+# keep their live bit in a leftover mask handled by the full-width legacy
+# kernel, which is launched alongside and is ~free when fully dead.
+
+_DW = 24      # z window (sublane dim): offsets {0, 8}, covers extents <= 17
+_HW_ROWS = 20  # y window rows: lane offsets {0,4,8,12}*W, extents <= 17
+
+
+def _window_tables(aff, bbox, nblk, blk, G, dims, tile=None):
+    """Per-(block, bone) window offsets + fit mask for the windowed kernel.
+
+    Returns (zbits, hidx0, hidx1, fit): zbits (nblk,) i32 bitmask (bit k =
+    bone k uses zoff 8 instead of 0); hidx0/hidx1 (nblk,) i32 with 2-bit
+    fields (bones 0-15 / 16-23) holding hoff/4 in {0..3}; fit (nblk, K)
+    bool = the clipped stencil range fits the (8-aligned z, 4-aligned h)
+    windows.
+    """
+    K = aff.shape[0]
+    D, H, W = dims
+    flo, fhi = _warped_frac_ranges(aff, bbox, nblk, blk, G, dims, tile)
+
+    def stencil(d, size):
+        lo = jnp.clip(jnp.floor(flo[..., d]), 0, size - 1).astype(jnp.int32)
+        hi = jnp.clip(jnp.floor(fhi[..., d]) + 1, 0, size - 1) \
+            .astype(jnp.int32)
+        return lo, hi
+
+    ylo, yhi = stencil(1, H)
+    zlo, zhi = stencil(2, D)
+    zoff = jnp.where(zhi <= _DW - 1, 0, 8)
+    fit_z = (zlo >= zoff) & (zhi <= zoff + _DW - 1)
+    hoff = jnp.clip((ylo // 4) * 4, 0, H - _HW_ROWS)
+    fit_h = yhi <= hoff + _HW_ROWS - 1
+    fit = fit_z & fit_h
+
+    kk = jnp.arange(K, dtype=jnp.int32)[None]
+    zbits = jnp.sum(jnp.left_shift((zoff == 8).astype(jnp.int32), kk),
+                    axis=1).astype(jnp.int32)
+    hidx = hoff // 4                                     # (nblk, K) in 0..3
+    lo16 = jnp.sum(jnp.left_shift(hidx[:, :16], 2 * kk[:, :16]), axis=1)
+    hi16 = jnp.sum(
+        jnp.left_shift(hidx[:, 16:], 2 * kk[:, :K - 16]), axis=1) \
+        if K > 16 else jnp.zeros((nblk,), jnp.int32)
+    return (zbits.astype(jnp.int32), lo16.astype(jnp.int32),
+            hi16.astype(jnp.int32), fit)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("G", "dims", "dtype_str", "blk",
-                                    "support_skip", "interpret", "tiled"))
+                                    "support_skip", "interpret", "tiled",
+                                    "windowed"))
 def _bwd_call(vols2d, aff, bbox, g, *, G, dims, dtype_str, blk,
-              support_skip, interpret, tiled=True):
+              support_skip, interpret, tiled=True, windowed=True):
     K = vols2d.shape[0]
     N = G * G * G
     # spatial-tile point order (see _tile_dims): one block = compact
@@ -376,26 +579,67 @@ def _bwd_call(vols2d, aff, bbox, g, *, G, dims, dtype_str, blk,
         bone_bits = jnp.full((nblk,), (1 << K) - 1, jnp.int32)
     lv = jnp.where(g_live, bone_bits, 0)
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
-    kern = functools.partial(_bwd_kernel, G, dims, dtype, tile)
+
+    def legacy_call(lv_mask, vols_in):
+        kern = functools.partial(_bwd_kernel, G, dims, dtype, tile)
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nblk,),
+                in_specs=[_const_spec(vols_in.shape),
+                          _const_spec(aff.shape, pltpu.SMEM),
+                          _const_spec(bbox.shape, pltpu.SMEM),
+                          pl.BlockSpec((blk, K), lambda i, *s: (i, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=(_const_spec(vols_in.shape),
+                           _const_spec((K, 3, 3)), _const_spec((K, 3))),
+            ),
+            out_shape=(jax.ShapeDtypeStruct(vols_in.shape, jnp.float32),
+                       jax.ShapeDtypeStruct((K, 3, 3), jnp.float32),
+                       jax.ShapeDtypeStruct((K, 3), jnp.float32)),
+            interpret=interpret,
+        )(lv_mask, vols_in, aff, bbox, g)
+
+    D, H, W = dims
+    use_window = (windowed and D >= _DW and H >= _HW_ROWS
+                  and (4 * W) % 128 == 0 and D % 8 == 0 and K <= 32)
+    if not use_window:
+        return legacy_call(lv, vols2d)
+
+    zbits, hb0, hb1, fit = _window_tables(aff, bbox, nblk, blk, G, dims,
+                                          tile)
+    kk = jnp.arange(K, dtype=jnp.int32)[None]
+    fit_bits = jnp.sum(jnp.left_shift(fit.astype(jnp.int32), kk),
+                       axis=1).astype(jnp.int32)
+    lv_win = lv & fit_bits
+    lv_left = lv & ~fit_bits
+    # window slicing needs f32 sublane granularity (8); bf16 tiles at 16
+    vols32 = vols2d.astype(jnp.float32)
+    kern = functools.partial(_bwd_kernel_win, G, dims, dtype, tile)
     dvols, dA, dT = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=4,
             grid=(nblk,),
-            in_specs=[_const_spec(vols2d.shape),
+            in_specs=[_const_spec(vols32.shape),
                       _const_spec(aff.shape, pltpu.SMEM),
                       _const_spec(bbox.shape, pltpu.SMEM),
-                      pl.BlockSpec((blk, K), lambda i, s: (i, 0),
+                      pl.BlockSpec((blk, K), lambda i, *s: (i, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=(_const_spec(vols2d.shape), _const_spec((K, 3, 3)),
+            out_specs=(_const_spec(vols32.shape), _const_spec((K, 3, 3)),
                        _const_spec((K, 3))),
         ),
-        out_shape=(jax.ShapeDtypeStruct(vols2d.shape, jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct(vols32.shape, jnp.float32),
                    jax.ShapeDtypeStruct((K, 3, 3), jnp.float32),
                    jax.ShapeDtypeStruct((K, 3), jnp.float32)),
         interpret=interpret,
-    )(lv, vols2d, aff, bbox, g)
-    return dvols, dA, dT
+    )(lv_win, zbits, hb0, hb1, vols32, aff, bbox, g)
+    # leftover pairs (stencil range exceeds the windows -- rare to never
+    # in production) run through the full-width kernel; when lv_left is
+    # all-zero this costs only the grid's block DMAs
+    dv2, dA2, dT2 = legacy_call(lv_left, vols2d)
+    return dvols + dv2, dA + dA2, dT + dT2
 
 
 def _einsum_forward(vols2d, aff, bbox, G, dims, dtype_str):

@@ -71,7 +71,7 @@ def _corner_weights(wx, wy, wz):
         wz * wy * (1 - wx),             wz * wy * wx], axis=1)
 
 
-def _slot_kernel(R, dtype, s_ref, flat_ref, p_ref, out_ref):
+def _slot_kernel(R, dtype, C, s_ref, flat_ref, dw_ref, out_ref):
     """One (sample-block, window) slot -> masked one-hot MXU scatter.
 
     Slot rows: [input block, window, valid, first_visit, compute]. The
@@ -81,6 +81,12 @@ def _slot_kernel(R, dtype, s_ref, flat_ref, p_ref, out_ref):
     out-of-range sentinel G^3-1 (scatter_grad_volume's padding / the
     band-dead tail) -- their input DMAs are also collapsed onto block 0
     by _build_slots.
+
+    dw_ref (B, C + 8) carries the sorted per-sample cotangent row (C
+    lanes) and the 8 trilinear corner weights; the (B, 8*C) payload rows
+    are built in VMEM (corner k's product lands at lanes [k*C:(k+1)*C]).
+    Building in-kernel instead of XLA removes a (N, 8*C) HBM
+    materialization + per-slot fetch (~4x the DMA bytes at C=16).
     """
     B = flat_ref.shape[0]
     j = pl.program_id(0)
@@ -96,9 +102,13 @@ def _slot_kernel(R, dtype, s_ref, flat_ref, p_ref, out_ref):
         act = jnp.logical_and(off >= 0, off < R)
         cols = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
         oh = jnp.logical_and(cols == off, act).astype(dtype)
+        d32 = dw_ref[:, :C].astype(jnp.float32)          # (B, C)
+        p = jnp.concatenate(
+            [(dw_ref[:, C + k:C + k + 1].astype(jnp.float32) * d32)
+             .astype(dtype) for k in range(8)], axis=1)  # (B, 8*C)
         out_ref[:] += jax.lax.dot_general(
-            oh, p_ref[:].astype(dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (R, 128)
+            oh, p, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (R, 8*C)
 
 
 def _build_slots(flat_s, nb, blk, R, n_win, M, G3):
@@ -142,32 +152,35 @@ def _build_slots(flat_s, nb, blk, R, n_win, M, G3):
 @functools.partial(jax.jit,
                    static_argnames=("G", "dtype_str", "blk", "R",
                                     "interpret"))
-def _scatter_call(flat_s, p_s, *, G, dtype_str, blk, R, interpret):
-    """Sorted keys (npad,) + payload rows (npad, 128) -> d(U8) (G^3, 128)."""
+def _scatter_call(flat_s, dw_s, *, G, dtype_str, blk, R, interpret):
+    """Sorted keys (npad,) + (cotangent | corner-weight) rows (npad, C+8)
+    -> d(U8) (G^3, 8*C). Payload rows are built in-kernel."""
     npad = flat_s.shape[0]
+    C = dw_s.shape[1] - 8
     nb = npad // blk
     G3 = G * G * G
     n_win = -(-G3 // R)
     M = nb + n_win
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
     slots, vis = _build_slots(flat_s, nb, blk, R, n_win, M, G3)
-    kern = functools.partial(_slot_kernel, R, dtype)
+    kern = functools.partial(_slot_kernel, R, dtype, C)
     acc = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(M,),
             in_specs=[pl.BlockSpec((blk, 1), lambda j, s: (s[0, j], 0)),
-                      pl.BlockSpec((blk, 128), lambda j, s: (s[0, j], 0))],
-            out_specs=pl.BlockSpec((R, 128), lambda j, s: (s[1, j], 0)),
+                      pl.BlockSpec((blk, C + 8),
+                                   lambda j, s: (s[0, j], 0))],
+            out_specs=pl.BlockSpec((R, 8 * C), lambda j, s: (s[1, j], 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((n_win * R, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_win * R, 8 * C), jnp.float32),
         interpret=interpret,
-    )(slots, flat_s.reshape(npad, 1), p_s)
+    )(slots, flat_s.reshape(npad, 1), dw_s)
     # unvisited out blocks hold uninitialized garbage (can be NaN/Inf):
     # select, don't multiply
-    acc = jnp.where(vis[:, None, None] > 0, acc.reshape(n_win, R, 128),
-                    0.0).reshape(n_win * R, 128)
+    acc = jnp.where(vis[:, None, None] > 0, acc.reshape(n_win, R, 8 * C),
+                    0.0).reshape(n_win * R, 8 * C)
     return acc[:G3]
 
 
@@ -201,35 +214,23 @@ def scatter_grad_volume(flat, dacc, w8, *, grid_size, dtype=jnp.bfloat16,
                 + [_pack_u32(w8)[:, i] for i in range(4)])
         order = jax.lax.sort([flat] + cols, num_keys=1)
         flat_s = order[0]
-        # post-sort, build the (npad, 128) payload rows straight from the
-        # sorted u32 pair columns: the previous stack -> bitcast ->
-        # f32-cast -> (N, 8, 16) outer-product route materialized ~5
-        # lane-padded intermediates (~6.7 ms of the 10.6 ms total at
-        # 786k samples; benchmarks/micro_scatter.py) while the math is
-        # one fused pass
-        dacc_s = jnp.concatenate(
+        # post-sort, debitcast the u32 pair columns straight into one
+        # (npad, 24) = (cotangent | corner weights) row array; the
+        # (npad, 128) payload rows themselves are built INSIDE the
+        # scatter kernel (corner k's product lands at channels
+        # [k*16:(k+1)*16], one VPU pass per slot), saving their HBM
+        # materialization + per-slot fetch (~4x the DMA bytes)
+        dw_s = jnp.concatenate(
             [jax.lax.bitcast_convert_type(c, jnp.bfloat16)
-             for c in order[1:9]], axis=1)                 # (npad, 16) bf16
-        w8_s = jnp.concatenate(
-            [jax.lax.bitcast_convert_type(c, jnp.bfloat16)
-             for c in order[9:13]], axis=1)                # (npad, 8) bf16
+             for c in order[1:13]], axis=1)                # (npad, 24) bf16
     else:
         order = jax.lax.sort(
             [flat] + [dacc[:, i] for i in range(16)]
             + [w8[:, i] for i in range(8)], num_keys=1)
         flat_s = order[0]
-        dacc_s = jnp.stack(order[1:17], axis=1)
-        w8_s = jnp.stack(order[17:25], axis=1)
-    # payload rows in the packed-volume channel layout: corner k's
-    # contribution lands at channels [k*16:(k+1)*16] of row `flat`;
-    # per-corner 2-D products concatenated along lanes fuse into a single
-    # (npad, 128) write (a (N, 8, 16) outer product does not)
-    d32 = dacc_s.astype(jnp.float32)
-    p_s = jnp.concatenate(
-        [(w8_s[:, k:k + 1].astype(jnp.float32) * d32).astype(dtype)
-         for k in range(8)], axis=1)                       # (npad, 128)
+        dw_s = jnp.stack(order[1:25], axis=1)              # (npad, 24) f32
     dtype_str = "bfloat16" if dtype == jnp.bfloat16 else "float32"
-    dU8 = _scatter_call(flat_s, p_s, G=G, dtype_str=dtype_str,
+    dU8 = _scatter_call(flat_s, dw_s, G=G, dtype_str=dtype_str,
                         blk=blk, R=window, interpret=interpret)
     # transpose of build_packed_volume's 8-way shifted edge-replicated
     # concat (a linear map): d(U8) -> d(U)
@@ -274,8 +275,15 @@ def _fwd_impl(U, pts, obs_min, obs_max, live):
     flat = jnp.where(lv, flat, 0)                         # cache-hot rows
     g = rows[flat]                                        # (N, 128) 1 gather
     w8 = _corner_weights(wx, wy, wz)
-    gc = g.reshape(-1, 8, 16).astype(jnp.float32)
-    acc = jnp.einsum("nkc,nk->nc", gc, w8, precision=_HI)
+    # acc[n, c] = sum_k g[n, k*16+c] * w8[n, k], written as 8 static
+    # lane-slice multiply-adds (ascending k): avoids the (n, 8, 16)
+    # reshape so the reduction fuses over g row-major, and keeps this
+    # path bit-equal to fused_warp.sample_packed_volume (which uses the
+    # identical form -- forward-parity test pins them together).
+    g32 = g.astype(jnp.float32)
+    acc = w8[:, 0:1] * g32[:, 0:16]
+    for k in range(1, 8):
+        acc = acc + w8[:, k:k + 1] * g32[:, k * 16:(k + 1) * 16]
     acc = jnp.where(valid[:, None], acc, 0.0)
     return acc, (g, flat, wx, wy, wz, valid, lv, scale)
 
@@ -297,9 +305,14 @@ def _psa_bwd(dtype_str, blk, window, res, d_acc):
     flat_b = jnp.where(lv, flat, G * G * G - 1)
     dU = scatter_grad_volume(flat_b, d_accm, w8, grid_size=G, dtype=dtype,
                              blk=blk, window=window, interpret=interpret)
-    # d(pts): through the corner weights only (floor/clip have zero grad)
-    gc = g.reshape(-1, 8, 16).astype(jnp.float32)
-    d_w8 = jnp.einsum("nkc,nc->nk", gc, d_accm, precision=_HI)   # (N, 8)
+    # d(pts): through the corner weights only (floor/clip have zero grad).
+    # d_w8[n, k] = sum_c g[n, k*16+c] * d_accm[n, c], as 8 static
+    # lane-slice row reductions over the residual rows in their native
+    # row-major layout (no (n, 8, 16) reshape)
+    g32 = g.astype(jnp.float32)
+    d_w8 = jnp.concatenate(
+        [jnp.sum(g32[:, k * 16:(k + 1) * 16] * d_accm, axis=1,
+                 keepdims=True) for k in range(8)], axis=1)      # (N, 8)
     iz = jnp.array([0, 0, 0, 0, 1, 1, 1, 1], jnp.float32)
     iy = jnp.array([0, 0, 1, 1, 0, 0, 1, 1], jnp.float32)
     ix = jnp.array([0, 1, 0, 1, 0, 1, 0, 1], jnp.float32)

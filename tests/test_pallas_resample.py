@@ -201,3 +201,80 @@ def test_support_skip_exact_through_softmax(setup):
     g_full = jax.grad(lambda lg: loss(lg, False))(logits)
     np.testing.assert_allclose(np.asarray(g_skip), np.asarray(g_full),
                                rtol=1e-6, atol=1e-6)
+
+
+# -- windowed backward (support windows, pallas_resample._DW) --------------
+
+
+def _win_setup(scale=1.0, K=4, D=32, G=24, seed=7):
+    """Production-size (32^3) volumes so the windowed path engages."""
+    rng = np.random.RandomState(seed)
+    vols = jnp.asarray(
+        (rng.rand(K, D, D, D) * (rng.rand(K, D, D, D) > 0.3))
+        .astype(np.float32))
+    Rs = []
+    for k in range(K):
+        a = rng.uniform(-0.4, 0.4)
+        c, s = np.cos(a), np.sin(a)
+        Rs.append(np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+                  * rng.uniform(0.8, 1.2) * scale)
+    Rs = jnp.asarray(np.stack(Rs))
+    Ts = jnp.asarray(rng.uniform(-0.2, 0.2, (K, 3)).astype(np.float32))
+    cnl_min = jnp.asarray([-1.0, -1.1, -0.9], jnp.float32)
+    cnl_scale = jnp.asarray([1.0, 0.9, 1.1], jnp.float32)
+    obs_min = jnp.asarray([-1.2, -1.2, -1.2], jnp.float32)
+    obs_max = jnp.asarray([1.2, 1.3, 1.1], jnp.float32)
+    return vols, Rs, Ts, cnl_min, cnl_scale, obs_min, obs_max, G
+
+
+def _bwd_both(setup_vals, blk=512):
+    vols, Rs, Ts, cmin, cscale, omin, omax, G = setup_vals
+    K, D = vols.shape[0], vols.shape[1]
+    rng = np.random.RandomState(3)
+    g = jnp.asarray(rng.randn(G ** 3, K).astype(np.float32))
+    vols2d = vols.reshape(K, D, D * D)
+    aff = jnp.concatenate(
+        [Rs.reshape(K, 9), Ts, jnp.zeros((K, 4), jnp.float32)], axis=-1)
+    step = (omax - omin) / (G - 1)
+    bbox = jnp.concatenate(
+        [cmin, cscale, omin, step, jnp.zeros(4, jnp.float32)]).reshape(1, 16)
+    kw = dict(G=G, dims=(D, D, D), dtype_str="float32", blk=blk,
+              support_skip=False, interpret=True)
+    legacy = pallas_resample._bwd_call(vols2d, aff, bbox, g,
+                                       windowed=False, **kw)
+    win = pallas_resample._bwd_call(vols2d, aff, bbox, g,
+                                    windowed=True, **kw)
+    nblk = -(-G ** 3 // blk)
+    tile = pallas_resample._tile_dims(G, blk)
+    fit = pallas_resample._window_tables(aff, bbox, nblk, blk, G,
+                                         (D, D, D), tile)[3]
+    return legacy, win, np.asarray(fit)
+
+
+def test_windowed_bwd_parity():
+    """Windowed kernel == legacy kernel when every pair fits its window."""
+    legacy, win, fit = _bwd_both(_win_setup(scale=1.0))
+    assert fit.mean() == 1.0, "expected full fit at production-like scales"
+    for name, a, b in zip(("dvols", "dA", "dT"), legacy, win):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_windowed_bwd_leftover_path():
+    """Affines scaled far up make stencil ranges exceed the windows: the
+    non-fitting pairs must route through the legacy leftover kernel and
+    the split total must still equal the all-legacy result."""
+    legacy, win, fit = _bwd_both(_win_setup(scale=4.0))
+    assert fit.mean() < 1.0, "test needs at least one non-fitting pair"
+    for name, a, b in zip(("dvols", "dA", "dT"), legacy, win):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_windowed_gate_small_volume():
+    """D < _DW volumes fall back to the legacy kernel (gate, not crash)."""
+    vals = _win_setup(D=8, G=12)
+    legacy, win, _ = _bwd_both(vals, blk=128)
+    for a, b in zip(legacy, win):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6)
