@@ -439,7 +439,11 @@ class HumanNeRF:
                 and (self.compute_dtype == jnp.bfloat16
                      or jax.default_backend() != "tpu"))
             if use_scatter:
-                ctx["scatter_U"] = U
+                # compute-dtype rows, same as the packed eval path below:
+                # the scatter path packs inside packed_sample_acc, and bf16
+                # rows halve the gather's HBM traffic + the (N, 8*C)
+                # gathered-row residual; trilerp still accumulates in f32
+                ctx["scatter_U"] = U.astype(self.compute_dtype)
             elif cfg.warp.get("packed", True):
                 # store the packed volume in the compute dtype: the sample
                 # gather is latency-bound per row but bf16 rows still save

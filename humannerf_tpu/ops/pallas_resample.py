@@ -8,12 +8,18 @@ through (N, D, H)-sized intermediates (~47 ms at G=48 on v5e, paid every
 training step).
 
 This module keeps XLA's *forward* (5.9 ms -- the bf16 einsums fuse well)
-and replaces only the *backward* with a Pallas kernel (13.5 ms): per
-point-block it recomputes the forward in VMEM (all 24 volumes fit
-on-chip, 1.5 MB bf16; the regular obs grid is rebuilt from iota) and
-accumulates d(vols) (K, D, H*W) plus per-bone affine grads dA (K, 3, 3),
-dT (K, 3) in VMEM-resident accumulators across the sequential grid.
-Gradients w.r.t. the (data-derived) bounding boxes are defined as zero.
+and replaces only the *backward* with a Pallas kernel: per point-block
+it recomputes the forward in VMEM (all 24 volumes fit on-chip; the
+regular obs grid is rebuilt from iota) and accumulates d(vols)
+(K, D, H*W) plus per-bone affine grads dA (K, 3, 3), dT (K, 3) in
+VMEM-resident accumulators across the sequential grid. Gradients w.r.t.
+the (data-derived) bounding boxes are defined as zero.
+
+Round 5 added per-(block, bone) SUPPORT WINDOWS (see the comment at
+_DW): a compact point tile warps to a small band of the volume, so the
+contractions run on a (24, 20*W) window read/accumulated at dynamic
+aligned offsets -- 18.4 -> 14.0 ms in the production train step, with a
+full-width leftover kernel for (rare) non-fitting pairs.
 
 The y/x contractions use iota-built replication matrices
 (R_y[h, h*W+w] = 1, R_x[w', h*W+w] = (w == w')) so no 3D reshapes are

@@ -275,15 +275,8 @@ def _fwd_impl(U, pts, obs_min, obs_max, live):
     flat = jnp.where(lv, flat, 0)                         # cache-hot rows
     g = rows[flat]                                        # (N, 128) 1 gather
     w8 = _corner_weights(wx, wy, wz)
-    # acc[n, c] = sum_k g[n, k*16+c] * w8[n, k], written as 8 static
-    # lane-slice multiply-adds (ascending k): avoids the (n, 8, 16)
-    # reshape so the reduction fuses over g row-major, and keeps this
-    # path bit-equal to fused_warp.sample_packed_volume (which uses the
-    # identical form -- forward-parity test pins them together).
-    g32 = g.astype(jnp.float32)
-    acc = w8[:, 0:1] * g32[:, 0:16]
-    for k in range(1, 8):
-        acc = acc + w8[:, k:k + 1] * g32[:, k * 16:(k + 1) * 16]
+    gc = g.reshape(-1, 8, 16).astype(jnp.float32)
+    acc = jnp.einsum("nkc,nk->nc", gc, w8, precision=_HI)
     acc = jnp.where(valid[:, None], acc, 0.0)
     return acc, (g, flat, wx, wy, wz, valid, lv, scale)
 
@@ -305,14 +298,9 @@ def _psa_bwd(dtype_str, blk, window, res, d_acc):
     flat_b = jnp.where(lv, flat, G * G * G - 1)
     dU = scatter_grad_volume(flat_b, d_accm, w8, grid_size=G, dtype=dtype,
                              blk=blk, window=window, interpret=interpret)
-    # d(pts): through the corner weights only (floor/clip have zero grad).
-    # d_w8[n, k] = sum_c g[n, k*16+c] * d_accm[n, c], as 8 static
-    # lane-slice row reductions over the residual rows in their native
-    # row-major layout (no (n, 8, 16) reshape)
-    g32 = g.astype(jnp.float32)
-    d_w8 = jnp.concatenate(
-        [jnp.sum(g32[:, k * 16:(k + 1) * 16] * d_accm, axis=1,
-                 keepdims=True) for k in range(8)], axis=1)      # (N, 8)
+    # d(pts): through the corner weights only (floor/clip have zero grad)
+    gc = g.reshape(-1, 8, 16).astype(jnp.float32)
+    d_w8 = jnp.einsum("nkc,nc->nk", gc, d_accm, precision=_HI)   # (N, 8)
     iz = jnp.array([0, 0, 0, 0, 1, 1, 1, 1], jnp.float32)
     iy = jnp.array([0, 0, 1, 1, 0, 0, 1, 1], jnp.float32)
     ix = jnp.array([0, 1, 0, 1, 0, 1, 0, 1], jnp.float32)
