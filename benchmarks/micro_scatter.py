@@ -86,17 +86,18 @@ def main():
     ms = amort(lambda: payload(dacc, w8))
     print(f"  payload build  : {ms:7.2f} ms", flush=True)
 
-    # kernel alone on presorted inputs
+    # kernel alone on presorted inputs (in-kernel payload build: takes
+    # the (N, 24) = (cotangent | corner-weight) rows)
     flat_s = jnp.sort(flat)
-    p_s = jnp.asarray(rng.randn(N, 128).astype(np.float32)) \
+    dw_s = jnp.asarray(rng.randn(N, 24).astype(np.float32)) \
         .astype(jnp.bfloat16)
 
     @jax.jit
-    def kernel_only(f, p):
-        return ps._scatter_call(f, p, G=G, dtype_str="bfloat16",
+    def kernel_only(f, dw):
+        return ps._scatter_call(f, dw, G=G, dtype_str="bfloat16",
                                 blk=args.blk, R=args.window,
                                 interpret=False).sum()
-    ms = amort(lambda: kernel_only(flat_s, p_s))
+    ms = amort(lambda: kernel_only(flat_s, dw_s))
     print(f"  slot kernel    : {ms:7.2f} ms", flush=True)
 
     # XLA scatter-add reference
