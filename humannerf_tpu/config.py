@@ -377,9 +377,17 @@ def default_config() -> CN:
         #            sample blocks whose fg likelihood is <= skip_eps
         #            everywhere bypass the matmul chain (the compositor
         #            multiplies alpha by fg, so they contribute nothing)
+        # mlp_block 1024: finer forward-skip granularity saves ~1.8 ms in
+        # the train step (A/B on v5e); eval renders measure identical
+        # throughput at 1024 vs 2048
         "pallas": {"composite": False, "mlp": True, "mlp_interpret": False,
-                   "mlp_block": 2048, "mlp_block_bwd": 512,
+                   "mlp_block": 1024, "mlp_block_bwd": 512,
                    "resample": True, "resample_block": 512,
+                   # resample_window: restrict the resample backward's
+                   # per-(block, bone) contractions to support windows
+                   # (ops/pallas_resample._DW) -- exact; False forces the
+                   # full-width kernel (debugging escape hatch)
+                   "resample_window": True,
                    # resample_support_skip: the resample backward also
                    # skips (block, bone) pairs whose warped stencil misses
                    # the bone's nonzero-weight support (exact through the

@@ -416,6 +416,8 @@ class HumanNeRF:
                 resample_blk=int(cfg.get_path("pallas.resample_block", 512)),
                 resample_support_skip=bool(
                     cfg.get_path("pallas.resample_support_skip", True)),
+                resample_window=bool(
+                    cfg.get_path("pallas.resample_window", True)),
                 shard_map_mesh=self.data_mesh)
             # Train-time fast path: fuse pack+gather+einsum into one op whose
             # transpose runs the Pallas windowed one-hot scatter kernel

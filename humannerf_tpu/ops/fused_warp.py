@@ -97,6 +97,7 @@ def build_fused_volume(motion_weights: jnp.ndarray,
                        pallas_resample: bool = False,
                        resample_blk: int = 512,
                        resample_support_skip: bool = True,
+                       resample_window: bool = True,
                        shard_map_mesh=None):
     """Fuse all bones into one observation-space volume.
 
@@ -119,7 +120,8 @@ def build_fused_volume(motion_weights: jnp.ndarray,
         from humannerf_tpu.ops.pallas_resample import resample_all_bones
         rs = functools.partial(resample_all_bones, grid_size=grid_size,
                                dtype=dtype, blk=resample_blk,
-                               support_skip=resample_support_skip)
+                               support_skip=resample_support_skip,
+                               windowed=resample_window)
         if shard_map_mesh is not None and shard_map_mesh.devices.size > 1:
             # GSPMD cannot partition a pallas_call: in a >1-device jit the
             # per-frame resample (and its custom_vjp backward kernel) must

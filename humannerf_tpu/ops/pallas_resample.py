@@ -677,24 +677,26 @@ def _einsum_forward(vols2d, aff, bbox, G, dims, dtype_str):
     return jnp.stack(ws, axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _resample_op(vols2d, aff, bbox, G, dims, dtype_str, blk, support_skip):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _resample_op(vols2d, aff, bbox, G, dims, dtype_str, blk, support_skip,
+                 windowed):
     return _einsum_forward(vols2d, aff, bbox, G, dims, dtype_str)
 
 
-def _resample_fwd(vols2d, aff, bbox, G, dims, dtype_str, blk, support_skip):
+def _resample_fwd(vols2d, aff, bbox, G, dims, dtype_str, blk, support_skip,
+                  windowed):
     out = _resample_op(vols2d, aff, bbox, G, dims, dtype_str, blk,
-                       support_skip)
+                       support_skip, windowed)
     return out, (vols2d, aff, bbox)
 
 
-def _resample_bwd(G, dims, dtype_str, blk, support_skip, res, g):
+def _resample_bwd(G, dims, dtype_str, blk, support_skip, windowed, res, g):
     vols2d, aff, bbox = res
     interpret = jax.default_backend() != "tpu"
     dvols, dA, dT = _bwd_call(vols2d, aff, bbox, g, G=G, dims=dims,
                               dtype_str=dtype_str, blk=blk,
                               support_skip=support_skip,
-                              interpret=interpret)
+                              interpret=interpret, windowed=windowed)
     K = vols2d.shape[0]
     daff = jnp.concatenate(
         [dA.reshape(K, 9), dT, jnp.zeros((K, 4), jnp.float32)], axis=-1)
@@ -710,7 +712,8 @@ def resample_all_bones(motion_weights, motion_scale_Rs, motion_Ts,
                        cnl_bbox_min_xyz, cnl_bbox_scale_xyz,
                        obs_min, obs_max, grid_size: int,
                        dtype=jnp.bfloat16, blk: int = 512,
-                       support_skip: bool = True) -> jnp.ndarray:
+                       support_skip: bool = True,
+                       windowed: bool = True) -> jnp.ndarray:
     """All-bone obs-grid resample -> (G^3, K) weights.
 
     Drop-in for the fused_warp per-bone loop: identical forward (it IS the
@@ -729,6 +732,11 @@ def resample_all_bones(motion_weights, motion_scale_Rs, motion_Ts,
     must itself be reference-exact (e.g. raw-op gradient tests). The
     per-bone pl.when gating is free on fully-live blocks (measured) and
     kernel time scales ~linearly with live (block, bone) pairs.
+
+    windowed=True (default) runs the support-window kernel (_DW) for
+    pairs whose stencil range fits; False forces the full-width legacy
+    kernel everywhere (debugging escape hatch, cfg pallas.resample_window).
+    Both are exact -- same outputs either way.
     """
     K, D, H, W = motion_weights.shape
     if dtype == jnp.float32:
@@ -748,4 +756,4 @@ def resample_all_bones(motion_weights, motion_scale_Rs, motion_Ts,
         jnp.zeros(4, jnp.float32)]).reshape(1, 16)
     dtype_str = "bfloat16" if dtype == jnp.bfloat16 else "float32"
     return _resample_op(vols2d, aff, bbox, grid_size, (D, H, W), dtype_str,
-                        blk, bool(support_skip))
+                        blk, bool(support_skip), bool(windowed))
