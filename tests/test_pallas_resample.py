@@ -278,3 +278,21 @@ def test_windowed_gate_small_volume():
     for a, b in zip(legacy, win):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_windowed_flag_api_parity():
+    """resample_all_bones(windowed=False) == windowed=True gradients:
+    the cfg pallas.resample_window escape hatch must not change results."""
+    vols, Rs, Ts, cmin, cscale, omin, omax, G = _win_setup(K=3)
+    rng = np.random.RandomState(11)
+    cot = jnp.asarray(rng.randn(G ** 3, 3).astype(np.float32))
+
+    def loss(v, windowed):
+        return jnp.sum(pallas_resample.resample_all_bones(
+            v, Rs, Ts, cmin, cscale, omin, omax, G, dtype=jnp.float32,
+            blk=512, windowed=windowed) * cot)
+
+    g_on = jax.grad(lambda v: loss(v, True))(vols)
+    g_off = jax.grad(lambda v: loss(v, False))(vols)
+    np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off),
+                               rtol=1e-5, atol=1e-5)
